@@ -1,0 +1,211 @@
+"""The engine's query registry + matching DuckDB oracle SQL.
+
+Every queries() entry the driver runs at sf=0.01 has an oracle here unless it
+is genuinely non-SQL-expressible (sketch-randomized ops). Column names are
+aliased identically on both sides (driver hashes values after sorting columns
+by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from landscape_spark import linkgraph
+from landscape_spark.graph.cc import connected_components_exact
+from landscape_spark.graph.lpa import label_propagation
+from landscape_spark.graph.pagerank import pagerank
+from landscape_spark.graph.triangles import triangle_count
+
+PR_ITERS = 20
+PR_DAMPING = 0.85
+LPA_ITERS = 5
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = linkgraph.directed_edges(spark, sf_dir)
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .groupBy("out_deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def q_top_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = linkgraph.directed_edges(spark, sf_dir)
+    w = Window.orderBy(F.desc("in_deg"), F.asc("v"))
+    return (
+        e.groupBy(F.col("dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("v", "in_deg")
+    )
+
+
+def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return connected_components_exact(und, verts).select("v", "comp")
+
+
+def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_cc(spark, sf_dir)
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("comp_size"))
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = linkgraph.directed_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    pr = pagerank(e, verts, n, iters=PR_ITERS, damping=PR_DAMPING)
+    return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return label_propagation(und, verts, iters=LPA_ITERS).select("v", "label")
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    return triangle_count(und)
+
+
+GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "degree_distribution": q_degree_distribution,
+    "top_in_degree": q_top_in_degree,
+    "cc": q_cc,
+    "cc_sizes": q_cc_sizes,
+    "pagerank": q_pagerank,
+    "lpa": q_lpa,
+    "triangle_count": q_triangle_count,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _sym_cte() -> str:
+    return (
+        "lg_sym AS (SELECT a AS v, b AS w FROM lg_undirected "
+        "UNION ALL SELECT b AS v, a AS w FROM lg_undirected)"
+    )
+
+
+def _pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        "pr_deg AS (SELECT src, COUNT(*) AS out_deg FROM lg_edges GROUP BY src)",
+        "r0 AS (SELECT v, 1.0 / (SELECT n FROM lg_n) AS r FROM lg_vertices)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"r{t - 1}"
+        parts.append(
+            f"""r{t} AS (
+  SELECT lv.v AS v,
+         (1 - {d}) / (SELECT n FROM lg_n)
+         + {d} * (
+             COALESCE(c.c, 0)
+             + (SELECT COALESCE(SUM(r), 0) FROM {prev}
+                WHERE v NOT IN (SELECT src FROM pr_deg)) / (SELECT n FROM lg_n)
+           ) AS r
+  FROM lg_vertices lv
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.r / dg.out_deg) AS c
+    FROM lg_edges e
+    JOIN {prev} p ON p.v = e.src
+    JOIN pr_deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.v = lv.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, ROUND(r, 6) AS pr_score FROM r{iters}"
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        _sym_cte(),
+        "l0 AS (SELECT v, v AS label FROM lg_vertices)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"l{t - 1}"
+        parts.append(
+            f"""l{t} AS (
+  SELECT cur.v AS v, COALESCE(b.new_label, cur.label) AS label
+  FROM {prev} cur
+  LEFT JOIN (
+    SELECT v, label AS new_label FROM (
+      SELECT s.v AS v, l.label AS label, COUNT(*) AS cnt
+      FROM lg_sym s JOIN {prev} l ON l.v = s.w
+      GROUP BY s.v, l.label
+    ) t
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) = 1
+  ) b ON b.v = cur.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, label FROM l{iters}"
+
+
+GRAPH_ORACLES: dict[str, str] = {
+    "degree_distribution": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
+SELECT out_deg, COUNT(*) AS n_vertices FROM (
+  SELECT src, COUNT(*) AS out_deg FROM lg_edges GROUP BY src
+) GROUP BY out_deg
+""",
+    "top_in_degree": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
+SELECT v, in_deg FROM (
+  SELECT dst AS v, COUNT(*) AS in_deg,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, dst ASC) AS rn
+  FROM lg_edges GROUP BY dst
+) WHERE rn <= 20
+""",
+    "cc": f"""
+WITH RECURSIVE {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte()},
+cc(v, l) AS (
+  SELECT v, v FROM lg_vertices
+  UNION
+  SELECT s.w, cc.l FROM cc JOIN lg_sym s ON s.v = cc.v
+)
+SELECT v, MIN(l) AS comp FROM cc GROUP BY v
+""",
+    "cc_sizes": f"""
+WITH RECURSIVE {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte()},
+cc(v, l) AS (
+  SELECT v, v FROM lg_vertices
+  UNION
+  SELECT s.w, cc.l FROM cc JOIN lg_sym s ON s.v = cc.v
+)
+SELECT comp, COUNT(*) AS comp_size FROM (
+  SELECT v, MIN(l) AS comp FROM cc GROUP BY v
+) GROUP BY comp
+""",
+    "pagerank": _pagerank_sql(),
+    "lpa": _lpa_sql(),
+    "triangle_count": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
+SELECT COUNT(*) AS n_triangles
+FROM lg_undirected e1
+JOIN lg_undirected e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN lg_undirected e3 ON e3.a = e1.b AND e3.b = e2.b
+""",
+}

@@ -1,0 +1,140 @@
+"""Deterministic link-graph derivation over the ``documents`` table.
+
+The reference ingests pre-built binary edge streams (its synthetic generator
+is an O(1)-state hash of the update index with skewed sources,
+/root/reference/experiment/simple_stream.h:77-91). We mirror that idea but
+derive the edges from the driver's ``documents`` table with PURE INTEGER
+ARITHMETIC (no engine-specific hash), so the exact same edge set is
+computable in Spark and in the DuckDB oracle — every graph query gets an
+ANSI-SQL oracle.
+
+Graph law (doc ids are dense 0..n-1):
+    for each doc i and j in 0..K-1:
+        h   = ((i mod 2^31) * 2654435761 + j * 40503 + 2246822519) mod 2^31
+        dst = h mod NHUBS       if h mod 16 < 3    (hub skew: ~19% of links
+                                                    land on vertices 0..7 —
+                                                    the web's power-law hubs)
+              h mod n           otherwise
+        keep (i, dst) if dst != i;  directed edges are DISTINCT pairs.
+
+Undirected views canonicalize (least, greatest). All constants < 2^32 and the
+pre-multiply reduction keeps every intermediate < 2^62, so 64-bit semantics
+are identical across engines (and safe at 10^12-doc scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K_OUT = 8
+MOD = 2_147_483_648  # 2^31
+MUL_A = 2_654_435_761  # Knuth multiplicative constant
+MUL_B = 40_503
+ADD_C = 2_246_822_519
+HUB_MOD = 16
+HUB_CUT = 3
+N_HUBS = 8
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def num_vertices(spark: SparkSession, sf_dir: str) -> int:
+    return load_documents(spark, sf_dir).agg(F.max("doc_id")).first()[0] + 1
+
+
+def directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed (src, dst) per the graph law. One narrow explode;
+    the DISTINCT is the only shuffle and Catalyst prunes to the doc_id column
+    (scan reads a single parquet column)."""
+    n = num_vertices(spark, sf_dir)
+    docs = load_documents(spark, sf_dir).select(F.col("doc_id").cast("long"))
+    h = ((F.col("doc_id") % MOD) * F.lit(MUL_A) + F.col("j") * F.lit(MUL_B) + F.lit(ADD_C)) % F.lit(MOD)
+    dst = F.when(h % HUB_MOD < HUB_CUT, h % N_HUBS).otherwise(h % F.lit(n))
+    return (
+        docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(K_OUT - 1))))
+        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        .where(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+
+
+def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge set: distinct (a < b). Self-loops already
+    excluded by the law."""
+    e = directed_edges(spark, sf_dir)
+    return (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).distinct()
+    )
+
+
+def vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(num_vertices(spark, sf_dir)).select(F.col("id").alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL fragments (ANSI, arithmetic identical to the Spark law)
+# ---------------------------------------------------------------------------
+
+EDGES_CTE = f"""
+lg_n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+lg_raw AS (
+  SELECT d.doc_id AS src,
+         ((d.doc_id % {MOD}) * {MUL_A} + j.j * {MUL_B} + {ADD_C}) % {MOD} AS h,
+         lg_n.n AS n
+  FROM documents d, (SELECT UNNEST(range({K_OUT})) AS j) j, lg_n
+),
+lg_edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN h % {HUB_MOD} < {HUB_CUT} THEN h % {N_HUBS} ELSE h % n END AS dst
+  FROM lg_raw
+  WHERE (CASE WHEN h % {HUB_MOD} < {HUB_CUT} THEN h % {N_HUBS} ELSE h % n END) <> src
+),
+lg_undirected AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM lg_edges
+),
+lg_vertices AS (
+  SELECT UNNEST(range((SELECT n FROM lg_n))) AS v
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimpleStream-style synthetic edge generator (bench-scale; no oracle needed)
+# ---------------------------------------------------------------------------
+
+def synth_edge_stream(
+    spark: SparkSession, n_vertices: int, n_updates: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic O(1)-state edge stream generator: hash of the update
+    index -> (src, dst) with source skew via min-of-two-hashes — the Spark
+    rendition of the reference's SimpleStream
+    (/root/reference/experiment/simple_stream.h:77-91). Used for ingest
+    benchmarks at arbitrary scale; columns (upd_idx, src, dst).
+
+    n_vertices must be a power of two (as in simple_stream.h:24-28).
+    """
+    assert n_vertices & (n_vertices - 1) == 0, "n_vertices must be a power of 2"
+    mask = n_vertices - 1
+    idx = F.col("id")
+    h1 = F.xxhash64(idx, F.lit(seed))
+    h2 = F.xxhash64(idx, F.lit(seed + 1))
+    h3 = F.xxhash64(idx, F.lit(seed + 2))
+    # skewed src: min of two masked hashes (simple_stream.h:85-90)
+    src = F.least(F.pmod(h1, F.lit(mask + 1)), F.pmod(h2, F.lit(mask + 1)))
+    dst = F.pmod(h3, F.lit(mask + 1))
+    df = (
+        spark.range(n_updates)
+        .select(
+            idx.alias("upd_idx"),
+            src.alias("src"),
+            dst.alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return df

@@ -1,0 +1,141 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+* brute_force_topk — exact cosine top-k against a query vector, expressed as
+  a single JVM-side column expression (F.aggregate/zip_with — no Python).
+  This is the correctness baseline and has a DuckDB oracle
+  (list_cosine_similarity).
+* lsh_topk — random-hyperplane LSH bucketing as the 100TB path: signatures
+  via one vectorized numpy pass, candidates = query-bucket collisions only,
+  exact rescoring of candidates. Recall vs brute force measured in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from landscape_spark.hashing import splitmix64
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(vec_col: str, query: list[float]) -> F.Column:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.col(vec_col)
+    dot = _dot(v, q)
+    nv = F.sqrt(_dot(v, v))
+    nq = float(np.sqrt(np.dot(query, query)))
+    return dot / (nv * F.lit(nq))
+
+
+def brute_force_topk(
+    emb: DataFrame, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine: (vec_id, sim). Deterministic ranking: rounded
+    sim desc, vec_id asc (ranking on the ROUNDED value so float-ulp noise
+    can't reorder ties across engines). Scale: the scan is embarrassingly
+    parallel; top-k is a TakeOrdered (no full sort shuffle)."""
+    sim = F.round(cosine_col("embedding", query), 6).alias("sim")
+    scored = emb.select("vec_id", sim)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "sim")
+    )
+
+
+def brute_force_topk_sql(query: list[float], k: int = 10) -> str:
+    qlit = "[" + ", ".join(f"{float(x)!r}" for x in query) + "]"
+    return f"""
+WITH scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product({qlit}, {qlit}))), 6) AS sim
+  FROM embeddings
+)
+SELECT vec_id, sim FROM (
+  SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def hyperplane_signatures(
+    emb: DataFrame, n_planes: int = 16, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """(vec_id, bucket int): sign pattern against seeded random hyperplanes.
+    The planes are derived deterministically from the seed on every executor
+    (same trick as the reference's INIT seed broadcast)."""
+    planes = _planes(n_planes, dim, seed)
+
+    def sig(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+            if len(ids) == 0:
+                continue
+            proj = mat @ planes.T  # (N, P)
+            bits = (proj > 0).astype(np.int64)
+            bucket = (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(bucket, type=pa.int64())],
+                names=["vec_id", "bucket"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(sig, "vec_id long, bucket long")
+
+
+def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    raw = splitmix64(
+        np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(seed * 0x9E3779B9)
+    )
+    # map uint64 -> approx standard normal via sum of 4 uniforms (CLT, exact
+    # determinism matters more than tail quality for LSH)
+    u = np.stack(
+        [((raw >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.float64) / 65535.0 for s in (0, 16, 32, 48)]
+    ).sum(axis=0) - 2.0
+    return u.reshape(n_planes, dim)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of candidates from n_tables independent LSH
+    tables (query-bucket collisions), exact cosine rescoring, deterministic
+    ranking. At 100TB the candidate set is ~N/2^planes per table instead of N."""
+    cands = None
+    for t in range(n_tables):
+        sigs = hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)
+        planes = _planes(n_planes, dim, seed + t * 1000)
+        qproj = planes @ np.array(query, dtype=np.float64)
+        qbucket = int(((qproj > 0).astype(np.int64) * (1 << np.arange(n_planes))).sum())
+        c = sigs.where(F.col("bucket") == qbucket).select("vec_id")
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    sim = F.round(cosine_col("embedding", query), 6).alias("sim")
+    scored = emb.join(cands, on="vec_id", how="left_semi").select("vec_id", sim)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("vec_id", "sim")
+    )

@@ -1,0 +1,128 @@
+"""Distributed sketch-table build: one shuffle, Arrow-vectorized kernels.
+
+The reference fans per-vertex update batches out to MPI workers which return
+sketch deltas merged on the main node (/root/reference/src/worker_cluster.cpp:
+80-118, src/work_distributor.cpp:223-255). In Spark the whole pipeline is ONE
+declarative job:
+
+    edges --explode endpoints--> (vid, code) --repartition(pmod(vid,P))-->
+    mapInArrow(vectorized numpy build) --> sketches(vid, sketch)
+
+The repartition is the only shuffle (Spark's sort-based shuffle IS the
+reference's guttering buffer tree, graph_distrib_update.cpp:26-32). After it,
+every vid's updates are co-located, so each partition emits FINAL supernodes —
+no second merge stage. Map-side the kernel XOR-folds duplicates, the exact
+analog of worker-side delta generation (partial aggregation).
+
+Unlike the reference — which applies every delta on rank 0 and holds all
+supernodes in main-node RAM (src/work_distributor.cpp:99-100, its
+acknowledged scalability ceiling) — the sketch table here stays distributed;
+merges happen where the data lives.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from landscape_spark.sketch.l0 import (
+    SketchParams,
+    build_sketches,
+    from_bytes,
+    sample_group,
+    to_bytes,
+    xor_fold_rows,
+)
+
+SKETCH_SCHEMA = "vid long, sketch binary"
+
+
+def edge_updates(und_edges: DataFrame, n: int) -> DataFrame:
+    """(a,b) canonical edges -> (vid, code) update stream: each edge feeds
+    BOTH endpoint supernodes with the same canonical code (two sketch updates
+    per stream update, /root/reference/experiment/cluster_speed_expr.cpp:91-93).
+    code = a*n + b + 1 fits a signed long for n < 3e9; beyond that the code
+    domain needs the 2x64-bit variant (documented in l0.edge_code)."""
+    code = (F.col("a") * F.lit(n) + F.col("b") + F.lit(1)).alias("code")
+    return und_edges.select(F.col("a").alias("vid"), code).unionAll(
+        und_edges.select(F.col("b").alias("vid"), code)
+    )
+
+
+def build_sketch_table(
+    und_edges: DataFrame,
+    params: SketchParams,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed supernode build. Returns DataFrame (vid, sketch)."""
+    upd = edge_updates(und_edges, params.n).repartition(
+        num_partitions, F.pmod(F.col("vid"), F.lit(num_partitions))
+    )
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vid_parts, code_parts = [], []
+        for b in batches:
+            vid_parts.append(b.column("vid").to_numpy(zero_copy_only=False))
+            code_parts.append(b.column("code").to_numpy(zero_copy_only=False))
+        if not vid_parts:
+            return
+        vids = np.concatenate(vid_parts).astype(np.int64)
+        codes = np.concatenate(code_parts).astype(np.int64).view(np.uint64)
+        uvids, sk = build_sketches(vids, codes, params)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(uvids, type=pa.int64()), pa.array(to_bytes(sk), type=pa.binary())],
+            names=["vid", "sketch"],
+        )
+
+    return upd.mapInArrow(build, SKETCH_SCHEMA)
+
+
+def xor_merge_by_key(df: DataFrame, key: str, num_partitions: int = 32) -> DataFrame:
+    """GroupBy-key XOR merge of sketch rows (the linear sketch-addition
+    aggregation, A2/A3 in SURVEY.md §2.3). One shuffle; fold is vectorized
+    reduceat per partition."""
+    part = df.repartition(num_partitions, F.pmod(F.col(key), F.lit(num_partitions)))
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        keys_parts, blob_parts = [], []
+        for b in batches:
+            keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
+            blob_parts.extend(b.column("sketch").to_pylist())
+        if not keys_parts:
+            return
+        keys = np.concatenate(keys_parts).astype(np.int64)
+        rows = np.frombuffer(b"".join(blob_parts), dtype=np.uint64).reshape(len(keys), -1)
+        ids, folded = xor_fold_rows(rows, keys)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, type=pa.int64()), pa.array(to_bytes(folded), type=pa.binary())],
+            names=[key, "sketch"],
+        )
+
+    return part.mapInArrow(fold, f"{key} long, sketch binary")
+
+
+def sample_table(df: DataFrame, key: str, group: int, params: SketchParams) -> DataFrame:
+    """Per-row l0 sample from sketch group ``group``. Returns (key, u, v)
+    for rows whose sample succeeded, plus live flag counts handled upstream."""
+
+    def sample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            keys = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            rows = from_bytes(b.column("sketch").to_pylist(), params)
+            ok, u, v = sample_group(rows, group, params)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys[ok], type=pa.int64()),
+                    pa.array(u[ok], type=pa.int64()),
+                    pa.array(v[ok], type=pa.int64()),
+                ],
+                names=[key, "u", "v"],
+            )
+
+    return df.mapInArrow(sample, f"{key} long, u long, v long")

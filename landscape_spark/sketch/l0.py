@@ -1,0 +1,220 @@
+"""AGM l0-sampling linear sketches over edge-incidence vectors (numpy kernel).
+
+The reference's supernode is a per-vertex stack of l0-sampling sketches of the
+vertex's incidence characteristic vector, updated via XOR-style bucket writes
+and merged LINEARLY (sketch(A) + sketch(B) = sketch(A xor B)), so partial
+sketches computed anywhere merge into the same result
+(/root/reference/src/worker_cluster.cpp:107-118 apply_delta_update;
+/root/reference/src/graph_distrib_update.cpp:182 per-edge update;
+CameoSketch/CubeSketch naming /root/reference/plotting/latex/defines.tex:90-94).
+This module is our from-scratch, vectorized-numpy rendition of that public
+construction (Ahn–Guha–McGregor SODA'12; GraphZeppelin SIGMOD'22):
+
+* A supernode = ``rounds`` independent sketch GROUPS (one consumed per
+  Boruvka round, preserving independence), each group = ``cols`` columns,
+  each column = ``depths`` geometric levels.
+* Updating with edge code e: for every (group, column), hash h = splitmix64(
+  e ^ seed(g,c)); level = trailing_zeros(h) capped; XOR e into the level's
+  value slot and checksum(e) into its check slot. Plus one deterministic
+  bucket XOR-ing every update (catches the exactly-one-nonzero case).
+* A bucket is GOOD iff value != 0 and check == checksum(value) — then value
+  is (w.h.p.) the code of exactly one surviving edge: an l0 sample.
+* Edges cancel: an edge appears in both endpoint supernodes with the SAME
+  code, so merging the supernodes of a component cancels internal edges and
+  leaves a sampler over the component's CUT — the Boruvka invariant.
+
+Layout per vertex: uint64[n_slots] where n_slots = rounds*cols*depths*2 + 2
+(the +2 is the deterministic bucket's value/check pair, stored first).
+Everything below is pure numpy on uint64 and runs identically on every
+executor given the same global seed (the reference broadcasts its seed at
+INIT for the same reason, /root/reference/src/worker_cluster.cpp:39-47).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from landscape_spark.hashing import checksum, derive_seed, splitmix64, trailing_zeros
+
+_OLD_ERR = np.seterr(over="ignore")  # uint64 wrap-around is intentional throughout
+
+
+@dataclass(frozen=True)
+class SketchParams:
+    n: int  # number of vertices (dense 0..n-1); edge-code domain is n*n
+    rounds: int  # independent groups (>= Boruvka rounds needed, ~log2 n + slack)
+    cols: int  # columns per group (failure prob per group ~ const^cols)
+    depths: int  # geometric levels per column (~log2(n) + slack)
+    seed: int = 42
+
+    @staticmethod
+    def for_graph(n: int, seed: int = 42, cols: int = 4, extra_rounds: int = 4) -> "SketchParams":
+        lg = max(1, int(np.ceil(np.log2(max(n, 2)))))
+        return SketchParams(n=n, rounds=2 * lg + extra_rounds, cols=cols, depths=lg + 4, seed=seed)
+
+    @property
+    def slots_per_group(self) -> int:
+        return self.cols * self.depths * 2
+
+    @property
+    def n_slots(self) -> int:
+        return self.rounds * self.slots_per_group + 2
+
+    @property
+    def nbytes(self) -> int:
+        return self.n_slots * 8
+
+    def col_seeds(self) -> np.ndarray:
+        """uint64[rounds*cols] — seed for (group g, column c) at index g*cols+c."""
+        out = np.empty(self.rounds * self.cols, dtype=np.uint64)
+        for g in range(self.rounds):
+            for c in range(self.cols):
+                out[g * self.cols + c] = derive_seed(self.seed, g, c)
+        return out
+
+
+def edge_code(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
+    """Canonical nonzero uint64 code for undirected edge {u,v}: lo*n + hi + 1.
+    (The reference concatenates two 32-bit ids — concat_pairing_fn,
+    /root/reference/src/graph_distrib_update.cpp:182; we use lo*n+hi+1 which
+    extends past 2^32 vertices as long as n^2 < 2^64.)"""
+    u = np.asarray(u, dtype=np.uint64)
+    v = np.asarray(v, dtype=np.uint64)
+    lo = np.minimum(u, v)
+    hi = np.maximum(u, v)
+    return lo * np.uint64(n) + hi + np.uint64(1)
+
+
+def decode_edge(code: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    c = np.asarray(code, dtype=np.uint64) - np.uint64(1)
+    return (c // np.uint64(n)).astype(np.int64), (c % np.uint64(n)).astype(np.int64)
+
+
+def empty_sketches(n_groups_rows: int, params: SketchParams) -> np.ndarray:
+    return np.zeros((n_groups_rows, params.n_slots), dtype=np.uint64)
+
+
+def build_sketches(
+    vids: np.ndarray, codes: np.ndarray, params: SketchParams, chunk: int = 8192
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bulk build: XOR a stream of (vid, edge_code) updates into
+    per-vid supernodes. Returns (unique_vids int64[G], sketches uint64[G, n_slots]).
+
+    This is the engine's ingest hot path (the analog of the reference's
+    generate_delta_node, /root/reference/src/distributed_worker.cpp:73-74):
+    per chunk it computes all (row x group x column) bucket positions in one
+    shot and scatter-XORs via sort + reduceat — no Python-level per-row work.
+    """
+    vids = np.asarray(vids, dtype=np.int64)
+    codes = np.asarray(codes, dtype=np.uint64)
+    uvids, li = np.unique(vids, return_inverse=True)
+    G = len(uvids)
+    out = empty_sketches(G, params)
+    seeds = params.col_seeds()  # (RC,)
+    RC = len(seeds)
+    D = params.depths
+    row_len = params.n_slots
+
+    for start in range(0, len(codes), chunk):
+        cs = codes[start : start + chunk]
+        ls = li[start : start + chunk]
+        E = len(cs)
+        if E == 0:
+            continue
+        h = splitmix64(cs[:, None] ^ seeds[None, :])  # (E, RC)
+        d = trailing_zeros(h, D - 1)  # (E, RC)
+        rc = np.arange(RC, dtype=np.int64)[None, :]
+        # slot of the bucket's VALUE cell within a row (check cell is +1):
+        slot = 2 + (rc * D + d) * 2
+        flat = ls[:, None] * row_len + slot  # (E, RC)
+        vals = np.broadcast_to(cs[:, None], (E, RC))
+        _scatter_xor(out, flat.ravel(), vals.ravel())
+        # deterministic bucket (slot 0/1) once per update row
+        det_flat = ls * row_len
+        _scatter_xor(out, det_flat, cs)
+        # checksums: same positions shifted by one cell
+        chks = checksum(cs)
+        chks_b = np.broadcast_to(chks[:, None], (E, RC))
+        _scatter_xor(out, (flat + 1).ravel(), chks_b.ravel())
+        _scatter_xor(out, det_flat + 1, chks)
+    return uvids, out
+
+
+def _scatter_xor(out: np.ndarray, flat_idx: np.ndarray, values: np.ndarray) -> None:
+    """out.ravel()[flat_idx] ^= values, with duplicate indices XOR-folded.
+    Sort + reduceat beats np.bitwise_xor.at by ~10x on large batches."""
+    order = np.argsort(flat_idx, kind="stable")
+    fs = flat_idx[order]
+    vs = values[order]
+    starts = np.flatnonzero(np.r_[True, fs[1:] != fs[:-1]])
+    folded = np.bitwise_xor.reduceat(vs, starts)
+    o = out.reshape(-1)
+    o[fs[starts]] ^= folded
+
+
+def merge_sketches(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Linear merge (the reference's apply_delta_update,
+    /root/reference/src/worker_cluster.cpp:107-118): plain XOR."""
+    return a ^ b
+
+
+def xor_fold_rows(sketches: np.ndarray, group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """XOR-fold sketch rows by group id. Returns (unique_ids, folded)."""
+    order = np.argsort(group_ids, kind="stable")
+    gs = group_ids[order]
+    ss = sketches[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    folded = np.bitwise_xor.reduceat(ss, starts, axis=0)
+    return gs[starts], folded
+
+
+def sample_group(
+    sketches: np.ndarray, group: int, params: SketchParams
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Draw one l0 sample per sketch row from group ``group`` (one-shot per
+    Boruvka round — the analog of Supernode::sample consuming query state).
+
+    Returns (ok bool[G], u int64[G], v int64[G]). Checks the deterministic
+    bucket first, then columns in order, deepest level first (deep levels are
+    the sparse ones, likeliest to hold exactly one item).
+    """
+    G = sketches.shape[0]
+    found = np.zeros(G, dtype=bool)
+    code = np.zeros(G, dtype=np.uint64)
+
+    det_val = sketches[:, 0]
+    det_chk = sketches[:, 1]
+    good = (~found) & (det_val != 0) & (det_chk == checksum(det_val))
+    code[good] = det_val[good]
+    found |= good
+
+    base = 2 + group * params.slots_per_group
+    D = params.depths
+    for c in range(params.cols):
+        for d in range(D - 1, -1, -1):
+            if found.all():
+                break
+            off = base + (c * D + d) * 2
+            val = sketches[:, off]
+            chk = sketches[:, off + 1]
+            good = (~found) & (val != 0) & (chk == checksum(val))
+            code[good] = val[good]
+            found |= good
+
+    u = np.zeros(G, dtype=np.int64)
+    v = np.zeros(G, dtype=np.int64)
+    if found.any():
+        uu, vv = decode_edge(code[found], params.n)
+        u[found] = uu
+        v[found] = vv
+    return found, u, v
+
+
+def to_bytes(rows: np.ndarray) -> list[bytes]:
+    return [r.tobytes() for r in rows]
+
+
+def from_bytes(blobs, params: SketchParams) -> np.ndarray:
+    return np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(-1, params.n_slots).copy()

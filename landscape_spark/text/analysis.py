@@ -1,0 +1,150 @@
+"""Text-analysis operators for the training-data pipeline over ``documents``.
+
+Every operator here is a pure column expression (JVM-side, whole-stage
+codegen — no Python in the hot path) with an exactly-matching DuckDB oracle.
+These are first-class engine ops per the task brief (language-ID heuristic,
+quality scoring, token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker tokens for the n-gram/stopword heuristic (fixed public lists)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "que", "es", "en", "por", "con"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count: number of maximal \\S+ runs."""
+    return F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
+
+
+def _count_word(text: Column, word: str) -> Column:
+    # count of whole-word occurrences, case-sensitive (documents are lowercase)
+    return F.size(F.expr(f"regexp_extract_all(text, '\\\\b{word}\\\\b', 0)"))
+
+
+def with_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_measured, stop_tokens, punct_chars)."""
+    text = F.col("text")
+    stop_total = None
+    for w in STOPWORDS:
+        c = _count_word(text, w)
+        stop_total = c if stop_total is None else stop_total + c
+    return docs.select(
+        "doc_id",
+        token_count_col(text).alias("n_tokens"),
+        F.length(text).alias("n_chars_measured"),
+        stop_total.alias("stop_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[.,;:!?]', 0)")).alias("punct_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality score in [0,1]:
+    0.4*min(n_tokens/200,1) + 0.3*(1 - min(stop_ratio*4,1)) + 0.3*min(punct_ratio*50,1)
+    — a length/stopword/punctuation composite (rounded to 6 for cross-engine
+    float stability)."""
+    s = with_token_stats(docs)
+    nt = F.col("n_tokens").cast("double")
+    stop_ratio = F.when(nt > 0, F.col("stop_tokens") / nt).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("n_chars_measured") > 0,
+        F.col("punct_chars") / F.col("n_chars_measured").cast("double"),
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(nt / F.lit(200.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * 4, F.lit(1.0)))
+        + F.lit(0.3) * F.least(punct_ratio * 50, F.lit(1.0))
+    )
+    return s.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language heuristic: language with the highest whole-word
+    marker count wins; ties broken by language code order; zero markers ->
+    'und' (undetermined)."""
+    text = F.col("text")
+    counts = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        total = None
+        for w in words:
+            c = _count_word(text, w)
+            total = c if total is None else total + c
+        counts.append((lang, total))
+    best = F.greatest(*[c for _, c in counts])
+    pred = F.lit("und")
+    for lang, c in reversed(counts):  # earlier langs override on ties
+        pred = F.when((best > 0) & (c == best), F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 hex of the text bytes (exact-dup key)."""
+    return docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# matching DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _stop_sql(words: list[str]) -> str:
+    return " + ".join(
+        rf"length(regexp_extract_all(text, '\b{w}\b'))" for w in words
+    )
+
+
+TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       {_stop_sql(STOPWORDS)} AS stop_tokens,
+       length(regexp_extract_all(text, '[.,;:!?]')) AS punct_chars
+FROM documents
+"""
+
+QUALITY_SQL = rf"""
+WITH s AS ({TOKEN_STATS_SQL})
+SELECT doc_id,
+       ROUND(
+         0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
+         + 0.3 * (1.0 - LEAST(
+             (CASE WHEN n_tokens > 0
+                   THEN CAST(stop_tokens AS DOUBLE) / n_tokens ELSE 0.0 END) * 4, 1.0))
+         + 0.3 * LEAST(
+             (CASE WHEN n_chars_measured > 0
+                   THEN CAST(punct_chars AS DOUBLE) / n_chars_measured ELSE 0.0 END) * 50, 1.0)
+       , 6) AS quality
+FROM s
+"""
+
+
+def _lang_id_sql() -> str:
+    cols = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        cols.append(f"({_stop_sql(words)}) AS cnt_{lang}")
+    langs = sorted(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"cnt_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN best > 0 AND cnt_{lang} = best THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH c AS (SELECT doc_id, {", ".join(cols)} FROM documents),
+b AS (SELECT doc_id, *, {best} AS best FROM c)
+SELECT doc_id, {pred} AS pred_lang FROM b
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"

@@ -1,0 +1,36 @@
+"""PageRank vs numpy dense oracle — allclose 1e-6 at convergence (north rule)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from landscape_spark import linkgraph
+from landscape_spark.graph.pagerank import pagerank
+from tests.oracles import pagerank_oracle
+
+
+def test_pagerank_matches_oracle(spark, sf_small):
+    e = linkgraph.directed_edges(spark, sf_small)
+    n = linkgraph.num_vertices(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+
+    edges = [(r.src, r.dst) for r in e.collect()]
+    oracle = pagerank_oracle(edges, n)
+
+    got = {r.v: r.pr_score for r in pagerank(e, verts, n, iters=200, tol=1e-10).collect()}
+    assert len(got) == n
+    for v in range(n):
+        assert got[v] == pytest.approx(oracle[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_uniform(spark):
+    """2 -> 0, 2 -> 1; 0 and 1 dangling. Symmetric scores for 0/1."""
+    e = spark.createDataFrame([(2, 0), (2, 1)], "src long, dst long")
+    v = spark.range(3).select(F.col("id").alias("v"))
+    got = {r.v: r.pr_score for r in pagerank(e, v, 3, iters=300, tol=1e-13).collect()}
+    assert got[0] == pytest.approx(got[1], abs=1e-12)
+    oracle = pagerank_oracle([(2, 0), (2, 1)], 3)
+    for k in range(3):
+        assert got[k] == pytest.approx(oracle[k], abs=1e-6)
