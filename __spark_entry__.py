@@ -27,10 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     regs.update(entry_queries.GRAPH_QUERIES)
+    regs.update(entry_queries.TEXT_QUERIES)
     return regs
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(entry_queries.GRAPH_ORACLES)
+    out.update(entry_queries.TEXT_ORACLES)
+    # the sketch CC path is exact w.h.p. — hold it to the same SQL oracle
+    out["cc_sketch"] = entry_queries.GRAPH_ORACLES["cc"]
     return out

@@ -1,0 +1,152 @@
+"""Benchmark harness — reproduces the reference's stream-ingest benchmark shape
+(/root/reference/experiment/cluster_speed_expr.cpp: ingest rate in stream
+updates/sec + CC query latency split flush/algorithm) plus the north-rule
+additions (PageRank iteration wall-time, LPA, triangles, dedup, ANN).
+
+Prints ONE JSON line to stdout; all logs go to stderr.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_INGEST_N      ingest-bench vertex count, power of 2 (default 16384)
+  BENCH_INGEST_M      ingest-bench update count (default 1048576)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ingest_n = int(os.environ.get("BENCH_INGEST_N", str(1 << 14)))
+    ingest_m = int(os.environ.get("BENCH_INGEST_M", str(1 << 20)))
+
+    from pyspark.sql import functions as F
+
+    from landscape_spark import linkgraph
+    from landscape_spark.session import get_spark
+    from landscape_spark.sketch.boruvka import (
+        _boruvka_pass,
+        _initial_vmap,
+        components_with_isolated,
+    )
+    from landscape_spark.sketch.build import build_sketch_table
+    from landscape_spark.sketch.l0 import SketchParams
+
+    spark = get_spark(
+        app_name="landscape_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+    queries: dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # 1. HEADLINE: sketch-CC stream ingest (updates/sec, reference metric)
+    # ------------------------------------------------------------------
+    log(f"[ingest] n={ingest_n} m={ingest_m} cores={cpus}")
+    stream = linkgraph.synth_edge_stream(spark, ingest_n, ingest_m, seed=42).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    m_updates = stream.count()  # materialize generator cost outside the timer
+    params = SketchParams.for_graph(ingest_n, seed=42)
+    t0 = time.time()
+    sketches = build_sketch_table(stream, params, num_partitions=max(8, cpus))
+    n_sk = sketches.localCheckpoint(eager=True).count()
+    ingest_sec = time.time() - t0
+    rate = m_updates / ingest_sec
+    queries["ingest_sketch_build"] = round(ingest_sec, 3)
+    log(f"[ingest] {m_updates} updates -> {n_sk} supernodes in {ingest_sec:.2f}s = {rate/1e6:.3f}M upd/s")
+
+    # CC query latency on the ingested sketches (algorithm phase only —
+    # flush phase is the build above, mirroring the reference's split)
+    t0 = time.time()
+    sk_ck = sketches.localCheckpoint(eager=True)
+    vmap, _, rounds_used = _boruvka_pass(
+        spark, sk_ck, _initial_vmap(stream), params, 0, params.rounds, max(8, cpus)
+    )
+    n_comp = vmap.select("comp").distinct().count()
+    cc_alg_sec = time.time() - t0
+    queries["cc_sketch_query"] = round(cc_alg_sec, 3)
+    log(f"[cc_sketch] {n_comp} components, {rounds_used} rounds, {cc_alg_sec:.2f}s")
+
+    # ------------------------------------------------------------------
+    # 2. Link-graph analytics on the sf dir (derived documents graph)
+    # ------------------------------------------------------------------
+    n = linkgraph.num_vertices(spark, sf_dir)
+    e_dir = linkgraph.directed_edges(spark, sf_dir).cache()
+    e_und = linkgraph.undirected_edges(spark, sf_dir).cache()
+    verts = linkgraph.vertices(spark, sf_dir)
+    e_dir.count(), e_und.count()
+
+    from landscape_spark.graph.cc import connected_components_exact
+    from landscape_spark.graph.lpa import label_propagation
+    from landscape_spark.graph.pagerank import pagerank
+    from landscape_spark.graph.triangles import triangle_count
+
+    t0 = time.time()
+    connected_components_exact(e_und, verts).count()
+    queries["cc_exact"] = round(time.time() - t0, 3)
+
+    pr_iters = 10
+    t0 = time.time()
+    pagerank(e_dir, verts, n, iters=pr_iters).count()
+    pr_sec = time.time() - t0
+    queries["pagerank_10iter"] = round(pr_sec, 3)
+    pr_iter_sec = pr_sec / pr_iters
+
+    t0 = time.time()
+    label_propagation(e_und, verts, iters=5).count()
+    queries["lpa_5iter"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tri = triangle_count(e_und).first()[0]
+    queries["triangle_count"] = round(time.time() - t0, 3)
+    log(f"[triangles] {tri}")
+
+    # ------------------------------------------------------------------
+    # 3. Training-data pipeline ops on documents/embeddings
+    # ------------------------------------------------------------------
+    from landscape_spark.sim import ann
+    from landscape_spark.text import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    t0 = time.time()
+    dedup.minhash_lsh_dedup(docs, threshold=0.5).count()
+    queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    t0 = time.time()
+    ann.brute_force_topk(emb, qvec, k=10).count()
+    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "sketch_cc_ingest_updates_per_sec",
+        "value": round(rate, 1),
+        "unit": "updates/sec",
+        "queries": queries,
+        "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
+        "ingest_updates": m_updates,
+        "ingest_cores": cpus,
+        "pagerank_iter_sec": round(pr_iter_sec, 3),
+        "cc_query_sec": round(cc_alg_sec, 3),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

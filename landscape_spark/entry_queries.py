@@ -83,14 +83,118 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(und)
 
 
+def q_cc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based Boruvka CC (the reference's production query path,
+    /root/reference/src/graph_distrib_update.cpp:105-154). Exact w.h.p.;
+    oracle-checked against the same SQL as the exact path."""
+    from landscape_spark.sketch.boruvka import (
+        components_with_isolated,
+        connected_components_sketch,
+    )
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    vmap = connected_components_sketch(spark, und, n)
+    return components_with_isolated(spark, vmap, linkgraph.vertices(spark, sf_dir))
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_distribution": q_degree_distribution,
     "top_in_degree": q_top_in_degree,
     "cc": q_cc,
+    "cc_sketch": q_cc_sketch,
     "cc_sizes": q_cc_sizes,
     "pagerank": q_pagerank,
     "lpa": q_lpa,
     "triangle_count": q_triangle_count,
+}
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity queries (training-data pipeline layer)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import analysis
+
+    return analysis.with_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import analysis
+
+    return analysis.quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import analysis
+
+    return analysis.lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import analysis
+
+    return analysis.fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import dedup
+
+    return dedup.exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import dedup
+
+    return dedup.minhash_lsh_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.text import dedup
+
+    return dedup.simhash_near_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=8
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.sim import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    return ann.brute_force_topk(emb, qvec, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.sim import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    return ann.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6)
+
+
+TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "token_stats": q_token_stats,
+    "quality_score": q_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
+    "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
+    "ann_cosine_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh,  # rows-only: approximate by design
 }
 
 
@@ -106,15 +210,18 @@ def _sym_cte() -> str:
 
 
 def _pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    # every iteration CTE references its predecessor more than once; DuckDB
+    # inlines CTEs by default which would expand the 20-step chain
+    # exponentially — MATERIALIZED pins each step to evaluate once.
     parts = [
         linkgraph.EDGES_CTE.strip().rstrip(","),
-        "pr_deg AS (SELECT src, COUNT(*) AS out_deg FROM lg_edges GROUP BY src)",
-        "r0 AS (SELECT v, 1.0 / (SELECT n FROM lg_n) AS r FROM lg_vertices)",
+        "pr_deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM lg_edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM lg_n) AS r FROM lg_vertices)",
     ]
     for t in range(1, iters + 1):
         prev = f"r{t - 1}"
         parts.append(
-            f"""r{t} AS (
+            f"""r{t} AS MATERIALIZED (
   SELECT lv.v AS v,
          (1 - {d}) / (SELECT n FROM lg_n)
          + {d} * (
@@ -139,13 +246,13 @@ def _pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
 def _lpa_sql(iters: int = LPA_ITERS) -> str:
     parts = [
         linkgraph.EDGES_CTE.strip().rstrip(","),
-        _sym_cte(),
-        "l0 AS (SELECT v, v AS label FROM lg_vertices)",
+        _sym_cte().replace("lg_sym AS (", "lg_sym AS MATERIALIZED (", 1),
+        "l0 AS MATERIALIZED (SELECT v, v AS label FROM lg_vertices)",
     ]
     for t in range(1, iters + 1):
         prev = f"l{t - 1}"
         parts.append(
-            f"""l{t} AS (
+            f"""l{t} AS MATERIALIZED (
   SELECT cur.v AS v, COALESCE(b.new_label, cur.label) AS label
   FROM {prev} cur
   LEFT JOIN (
@@ -209,3 +316,42 @@ JOIN lg_undirected e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN lg_undirected e3 ON e3.a = e1.b AND e3.b = e2.b
 """,
 }
+
+
+def _text_oracles() -> dict[str, str]:
+    from landscape_spark.sim import ann  # noqa: F401 (SQL helpers below)
+    from landscape_spark.text import analysis, dedup
+
+    ann_sql = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id AS vec_id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM embeddings e, q
+)
+SELECT vec_id, sim FROM (
+  SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+    return {
+        "token_stats": analysis.TOKEN_STATS_SQL,
+        "quality_score": analysis.QUALITY_SQL,
+        "lang_id": analysis.LANG_ID_SQL,
+        "doc_fingerprint": analysis.FINGERPRINT_SQL,
+        "dedup_exact": """
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)
+SELECT f.doc_id, k.keep_id FROM fp f JOIN keep k ON k.fp = f.fp
+""",
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(threshold=0.5),
+        "ann_cosine_topk": ann_sql,
+    }
+
+
+TEXT_ORACLES: dict[str, str] = _text_oracles()

@@ -50,20 +50,22 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )
-        dangling = (
+        # dangling mass as a 1-row DF folded into the plan (no driver collect:
+        # the whole iteration is ONE job triggered by the checkpoint)
+        dangling_df = (
             ranks.join(F.broadcast(has_out), on="v", how="left")
             .where(F.col("_has_out").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang"))
         )
         new_ranks = (
             vertices.join(contrib, on="v", how="left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "v",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dang") / F.lit(n))
                 ).alias("r"),
             )
         )

@@ -54,15 +54,18 @@ def checksum(codes: np.ndarray) -> np.ndarray:
 
 def trailing_zeros(x: np.ndarray, cap: int) -> np.ndarray:
     """Vectorized count-trailing-zeros of uint64, capped at ``cap`` (geometric
-    depth assignment for the l0-sampler levels)."""
+    depth assignment for the l0-sampler levels).
+
+    Fast path: isolate the lowest set bit (x & -x), convert to float64
+    (exact for any power of two), and read the exponent field — one ufunc
+    pipeline instead of a 6-pass shift loop. tz(0) maps to cap."""
     x = np.asarray(x, dtype=np.uint64)
-    out = np.zeros(x.shape, dtype=np.int64)
-    live = x != 0  # tz(0) treated as cap
-    out[~live] = cap
-    v = x.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        s = np.uint64(shift)
-        mask = live & ((v & ((np.uint64(1) << s) - np.uint64(1))) == 0)
-        out[mask] += shift
-        v[mask] >>= s
-    return np.minimum(out, cap)
+    old = np.seterr(over="ignore")
+    try:
+        lowbit = x & (np.uint64(0) - x)
+    finally:
+        np.seterr(**old)
+    f = lowbit.astype(np.float64)
+    tz = (f.view(np.uint64) >> np.uint64(52)).astype(np.int64) - 1023
+    tz[lowbit == 0] = cap  # x == 0
+    return np.minimum(tz, cap)

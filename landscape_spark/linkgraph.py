@@ -81,24 +81,28 @@ def vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL fragments (ANSI, arithmetic identical to the Spark law)
 # ---------------------------------------------------------------------------
 
+# MATERIALIZED: these CTEs are referenced many times by the iterative
+# oracles (unrolled PageRank/LPA); DuckDB inlines plain CTEs per reference,
+# which would recompute the DISTINCT each time (and blow up exponentially
+# across a 20-step unrolled chain).
 EDGES_CTE = f"""
-lg_n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+lg_n AS MATERIALIZED (SELECT MAX(doc_id) + 1 AS n FROM documents),
 lg_raw AS (
   SELECT d.doc_id AS src,
          ((d.doc_id % {MOD}) * {MUL_A} + j.j * {MUL_B} + {ADD_C}) % {MOD} AS h,
          lg_n.n AS n
   FROM documents d, (SELECT UNNEST(range({K_OUT})) AS j) j, lg_n
 ),
-lg_edges AS (
+lg_edges AS MATERIALIZED (
   SELECT DISTINCT src,
          CASE WHEN h % {HUB_MOD} < {HUB_CUT} THEN h % {N_HUBS} ELSE h % n END AS dst
   FROM lg_raw
   WHERE (CASE WHEN h % {HUB_MOD} < {HUB_CUT} THEN h % {N_HUBS} ELSE h % n END) <> src
 ),
-lg_undirected AS (
+lg_undirected AS MATERIALIZED (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM lg_edges
 ),
-lg_vertices AS (
+lg_vertices AS MATERIALIZED (
   SELECT UNNEST(range((SELECT n FROM lg_n))) AS v
 )
 """

@@ -1,0 +1,207 @@
+"""Common-Crawl-style page table: deterministic synthesis + link/text extraction.
+
+The driver's input_hint fixes the raw-source shape: an Iceberg-style table
+``pages(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+The reference ingests pre-built edge streams; the north rule instead requires
+extracting hyperlink edges from pages with **byte-identical extracted text per
+url** between a pure-pandas oracle extractor and the distributed pipeline.
+
+Everything is derived from a seed — no external data. The link targets follow
+the same skewed law as the reference's SimpleStream generator
+(/root/reference/experiment/simple_stream.h:77-91): hub pages absorb a
+disproportionate share of in-links.
+
+Extraction is Arrow-vectorized (mapInPandas) — never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from landscape_spark.hashing import splitmix64
+
+LANGS = ["en", "de", "fr", "es"]
+MEAN_OUT_DEGREE = 8
+N_HUBS = 8
+WORDS = (
+    "graph stream sketch merge sample vertex edge component forest query "
+    "page link crawl rank label triangle hash bucket shuffle partition"
+).split()
+
+
+URL_SALT = 0x517E
+
+
+def url_of(page_id: int, n_sites: int = 64) -> str:
+    site = int(splitmix64(np.uint64(page_id) ^ np.uint64(URL_SALT)) % np.uint64(n_sites))
+    return f"https://site{site}.example/p/{page_id}"
+
+
+def _hash_arr(x: np.ndarray, salt: int) -> np.ndarray:
+    return splitmix64(x.astype(np.uint64) ^ np.uint64(salt))
+
+
+def synthesize_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    """Deterministic pages table. html embeds <a href> links whose targets
+    follow the hub-skew law; text is EXACTLY what extract_text_oracle yields."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:
+                rows.append(_render_page(int(i), n_docs, seed))
+            out = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+            yield out
+
+    base = spark.range(n_docs).repartition(32)
+    df = base.mapInPandas(
+        gen,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    return df
+
+
+def page_links(page_id: int, n_docs: int, seed: int) -> list[int]:
+    """Deterministic out-link targets with hub skew (mirrors linkgraph law)."""
+    i = np.uint64(page_id)
+    out = []
+    k = int(_hash_arr(np.array([page_id]), seed + 1)[0] % np.uint64(MEAN_OUT_DEGREE * 2 - 1)) + 1
+    for j in range(k):
+        h = int(_hash_arr(np.array([page_id * 131 + j]), seed + 2)[0])
+        if h % 16 < 3:
+            t = h % N_HUBS
+        else:
+            t = h % n_docs
+        if t != page_id:
+            out.append(int(t))
+    return out
+
+
+def _render_page(page_id: int, n_docs: int, seed: int) -> tuple:
+    links = page_links(page_id, n_docs, seed)
+    h = int(_hash_arr(np.array([page_id]), seed + 3)[0])
+    lang = LANGS[h % 4]
+    title_words = [WORDS[int(_hash_arr(np.array([page_id * 7 + w]), seed + 4)[0]) % len(WORDS)] for w in range(3)]
+    title = " ".join(title_words)
+    n_paras = 2 + h % 3
+    paras = []
+    for pi in range(n_paras):
+        wl = [
+            WORDS[int(_hash_arr(np.array([page_id * 1009 + pi * 31 + w]), seed + 5)[0]) % len(WORDS)]
+            for w in range(12)
+        ]
+        paras.append(" ".join(wl))
+    anchor_html = "".join(
+        f'<a href="https://site{int(splitmix64(np.uint64(t) ^ np.uint64(0x517E)) % np.uint64(64))}.example/p/{t}">link {ai}</a> '
+        for ai, t in enumerate(links)
+    )
+    html = (
+        f"<html><head><title>{title}</title></head><body>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + f"<div>{anchor_html}</div>"
+        + "</body></html>"
+    )
+    text = extract_text_from_html(html)
+    ts = pd.Timestamp("2024-01-01", tz=None) + pd.Timedelta(seconds=h % 31536000)
+    return (f"https://site{int(splitmix64(np.uint64(page_id) ^ np.uint64(0x517E)) % np.uint64(64))}.example/p/{page_id}",
+            ts, html.encode("utf-8"), text, lang)
+
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_HREF_RE = re.compile(r'<a\s+href="([^"]+)"')
+_PAGE_ID_RE = re.compile(r"/p/(\d+)$")
+
+
+def extract_text_from_html(html: str) -> str:
+    """THE text extractor (oracle definition): strip tags, collapse whitespace
+    to single spaces, LF-free, strip ends. Pure function of the html bytes —
+    the distributed pipeline must reproduce it byte-for-byte per url."""
+    no_tags = _TAG_RE.sub(" ", html)
+    return _WS_RE.sub(" ", no_tags).strip()
+
+
+def extract_links_from_html(html: str) -> list[str]:
+    return _HREF_RE.findall(html)
+
+
+def extract_text_oracle(pages_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas oracle: (url, text) from html bytes."""
+    return pd.DataFrame(
+        {
+            "url": pages_pdf["url"],
+            "text": [extract_text_from_html(b.decode("utf-8")) for b in pages_pdf["html"]],
+        }
+    )
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """Distributed extraction: (url, text, out_url). One Arrow pass; no
+    per-row Python UDFs. Explodes to one row per out-link (pages with no
+    links yield out_url NULL so text coverage stays total)."""
+
+    def ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts, outs = [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                s = html.decode("utf-8")
+                text = extract_text_from_html(s)
+                links = extract_links_from_html(s)
+                if not links:
+                    urls.append(url)
+                    texts.append(text)
+                    outs.append(None)
+                for link in links:
+                    urls.append(url)
+                    texts.append(text)
+                    outs.append(link)
+            yield pd.DataFrame({"url": urls, "text": texts, "out_url": outs})
+
+    return pages.select("url", "html").mapInPandas(
+        ex, "url string, text string, out_url string"
+    )
+
+
+def url_vertex_dictionary(extracted: DataFrame) -> DataFrame:
+    """Dense url->vid dictionary (the reference requires dense 0..n-1 ids,
+    graph_distrib_update.h:13). Built from page ids embedded in urls when
+    available; generic path: zipWithIndex-free dense_rank over sorted urls."""
+    from pyspark.sql import Window
+
+    urls = (
+        extracted.select(F.col("url").alias("u"))
+        .unionAll(extracted.where(F.col("out_url").isNotNull()).select(F.col("out_url").alias("u")))
+        .distinct()
+    )
+    w = Window.orderBy("u")
+    return urls.select(F.col("u").alias("url"), (F.row_number().over(w) - 1).alias("vid"))
+
+
+def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """pages -> (vertices(url, vid), edges(src, dst)) via extraction +
+    dictionary join. Broadcast the dictionary when small; at web scale this
+    becomes a sort-merge join on url — both Catalyst-chosen."""
+    ex = extract_pages(pages).cache()
+    vdict = url_vertex_dictionary(ex).cache()
+    src = ex.where(F.col("out_url").isNotNull()).join(vdict, on="url").select(
+        F.col("vid").alias("src"), "out_url"
+    )
+    edges = (
+        src.join(
+            vdict.withColumnRenamed("url", "out_url").withColumnRenamed("vid", "dst"),
+            on="out_url",
+        )
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return vdict, edges

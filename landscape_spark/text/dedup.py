@@ -162,7 +162,7 @@ def hash_bytes_u64(b: bytes) -> np.uint64:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame, bands: int = 32, rows_per_band: int = 2
 ) -> DataFrame:
     """Band the signatures: docs sharing any band-hash become candidates.
     One shuffle on (band, band_hash) — never an all-pairs product."""
@@ -189,12 +189,13 @@ def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates, EXACT-verified with true
     n-gram Jaccard (so output ⊆ ngram_jaccard_pairs; recall measured in
-    tests). Returns (doc_lo, doc_hi, jac)."""
+    tests). Returns (doc_lo, doc_hi, jac). Default banding (b=32, r=2)
+    targets threshold~0.5: detect P = 1-(1-J^2)^32 = 0.9998 at J=0.5."""
     sigs = minhash_signatures(docs, num_hashes=num_hashes, seed=seed)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
     exact = ngram_jaccard_pairs(docs, threshold)
@@ -247,7 +248,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) ->
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), c -> struct(c AS chunk,"
-                " (simhash >> (c * 16)) & 65535 AS ch))"
+                " shiftright(simhash, c * 16) & 65535 AS ch))"
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))

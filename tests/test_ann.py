@@ -1,0 +1,68 @@
+"""Similarity search over embeddings: brute-force vs DuckDB oracle; LSH recall."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from landscape_spark.sim import ann
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query_vec(sf_small):
+    con = duckdb.connect()
+    row = con.execute(
+        f"SELECT embedding FROM '{sf_small}/embeddings.parquet' WHERE vec_id = 0"
+    ).fetchone()
+    return [float(x) for x in row[0]]
+
+
+def test_brute_force_topk_matches_duckdb(emb, query_vec, sf_small):
+    got = sorted(map(tuple, ann.brute_force_topk(emb, query_vec, k=10).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    expected = sorted(con.execute(ann.brute_force_topk_sql(query_vec, k=10)).fetchall())
+    assert got == expected
+    # vec_id 0 itself must be rank-1 with sim 1.0
+    by_sim = sorted(got, key=lambda r: -r[1])
+    assert by_sim[0][0] == 0 and by_sim[0][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall_planted(spark):
+    """LSH recall is only meaningful when near neighbors exist: plant 10
+    vectors at cosine ~0.97 to the query among 500 random ones. (The driver
+    embeddings table is near-uniform — top-1 cosine ~0.33 — so it tests
+    brute-force parity, not LSH structure.)"""
+    rng = np.random.default_rng(0)
+    dim = 64
+    q = rng.normal(size=dim)
+    q /= np.linalg.norm(q)
+    rows = []
+    for i in range(10):  # planted near-dups of q
+        v = q + 0.03 * rng.normal(size=dim)  # ||noise|| ~ 0.24 -> cosine ~ 0.97
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    for i in range(10, 510):  # background noise
+        v = rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = [r.vec_id for r in ann.brute_force_topk(emb, q.tolist(), k=10).collect()]
+    assert set(truth) == set(range(10))
+    got = [r.vec_id for r in ann.lsh_topk(emb, q.tolist(), k=10, n_planes=8, n_tables=6).collect()]
+    overlap = len(set(truth) & set(got)) / len(truth)
+    assert overlap >= 0.8, f"LSH ANN recall too low: {overlap}"
+
+
+def test_hyperplane_signatures_deterministic(emb):
+    a = {r.vec_id: r.bucket for r in ann.hyperplane_signatures(emb, 12, 64, seed=5).collect()}
+    b = {r.vec_id: r.bucket for r in ann.hyperplane_signatures(emb, 12, 64, seed=5).collect()}
+    assert a == b
+    c = {r.vec_id: r.bucket for r in ann.hyperplane_signatures(emb, 12, 64, seed=6).collect()}
+    assert a != c

@@ -1,0 +1,72 @@
+"""Mid-iteration resume (north rule): kill Boruvka between rounds, resume from
+the per-round checkpoint, get the identical result — plus lineage contents."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from landscape_spark.checkpoint import RoundCheckpointer
+from landscape_spark.sketch.boruvka import (
+    _boruvka_pass,
+    _initial_vmap,
+    components_with_isolated,
+    connected_components_sketch,
+    resume_connected_components,
+)
+from landscape_spark.sketch.build import build_sketch_table
+from landscape_spark.sketch.l0 import SketchParams
+from tests.test_cc import _nx_canonical_components, multiples_graph_edges
+
+
+def test_resume_mid_iteration_identical(spark, tmp_path):
+    n = 1024
+    edges = multiples_graph_edges(n)
+    oracle = _nx_canonical_components(edges, n)
+    e = spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in edges}), "a long, b long"
+    )
+    v = spark.range(n).select(F.col("id").alias("v"))
+    params = SketchParams.for_graph(n)
+    ckpt_dir = str(tmp_path / "ck")
+
+    # phase 1: run only ONE round, checkpointing — then "crash"
+    ckpt = RoundCheckpointer(spark, ckpt_dir, "boruvka_cc")
+    sketches = build_sketch_table(e, params, 4)
+    _boruvka_pass(
+        spark, sketches, _initial_vmap(e), params,
+        start_group=0, max_groups=1, num_partitions=4, ckpt=ckpt,
+    )
+    assert ckpt.latest_round() == 0
+
+    # phase 2: resume from disk in a "new" driver context
+    vmap = resume_connected_components(spark, ckpt_dir, num_partitions=4)
+    got = {
+        r.v: r.comp for r in components_with_isolated(spark, vmap, v).collect()
+    }
+    assert got == oracle
+    assert len(set(got.values())) == 78
+
+
+def test_lineage_contents(spark, tmp_path):
+    e = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a long, b long")
+    ckpt_dir = str(tmp_path / "ck2")
+    connected_components_sketch(
+        spark, e, 6, num_partitions=2, checkpoint_dir=ckpt_dir
+    )
+    rd = os.path.join(ckpt_dir, "boruvka_cc", "round=0")
+    with open(os.path.join(rd, "lineage.json")) as f:
+        lineage = json.load(f)
+    assert lineage["round"] == 0
+    assert lineage["previous"] is None
+    assert set(lineage["tables"]) == {"comp_sketch", "vmap"}
+    for meta in lineage["tables"].values():
+        assert meta["rows"] > 0
+        assert sum(meta["partition_rows"]) == meta["rows"]  # per-partition lineage
+    assert "round_sec" in lineage["metrics"]
+    assert lineage["state"]["params"]["n"] == 6
+    # checkpointed tables are loadable
+    df = spark.read.parquet(lineage["tables"]["vmap"]["path"])
+    assert df.count() == lineage["tables"]["vmap"]["rows"]
