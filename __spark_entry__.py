@@ -25,16 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from landscape_spark import relational
+
     regs: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     regs.update(entry_queries.GRAPH_QUERIES)
     regs.update(entry_queries.TEXT_QUERIES)
+    regs.update(relational.RELATIONAL_QUERIES)
     return regs
 
 
 def oracle_sql() -> dict[str, str]:
+    from landscape_spark import relational
+
     out: dict[str, str] = {}
     out.update(entry_queries.GRAPH_ORACLES)
     out.update(entry_queries.TEXT_ORACLES)
+    out.update(relational.RELATIONAL_ORACLES)
     # the sketch CC path is exact w.h.p. — hold it to the same SQL oracle
     out["cc_sketch"] = entry_queries.GRAPH_ORACLES["cc"]
     return out

@@ -52,6 +52,37 @@ def checksum(codes: np.ndarray) -> np.ndarray:
         np.seterr(**old)
 
 
+def splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> None:
+    """splitmix64 finalizer over uint64 IN PLACE (z modified; tmp same shape).
+    Zero allocations — the sketch kernel calls this per (chunk, column) and
+    512KB+ throwaway arrays would go through mmap on every call."""
+    np.add(z, GOLDEN, out=z)
+    np.right_shift(z, np.uint64(30), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, MIX1, out=z)
+    np.right_shift(z, np.uint64(27), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, MIX2, out=z)
+    np.right_shift(z, np.uint64(31), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+
+
+def trailing_zeros_inplace(
+    x: np.ndarray, cap: int, f64: np.ndarray, out: np.ndarray, tmp: np.ndarray
+) -> None:
+    """count-trailing-zeros of uint64 into ``out`` (int64), zero allocations.
+    f64: float64 buffer, tmp: uint64 buffer, all same shape as x."""
+    np.negative(x, out=tmp)
+    np.bitwise_and(x, tmp, out=tmp)  # lowest set bit
+    np.copyto(f64, tmp, casting="unsafe")  # exact for powers of two
+    fbits = f64.view(np.uint64)
+    np.right_shift(fbits, np.uint64(52), out=fbits)
+    np.copyto(out, fbits, casting="unsafe")
+    np.subtract(out, 1023, out=out)
+    out[tmp == 0] = cap
+    np.minimum(out, cap, out=out)
+
+
 def trailing_zeros(x: np.ndarray, cap: int) -> np.ndarray:
     """Vectorized count-trailing-zeros of uint64, capped at ``cap`` (geometric
     depth assignment for the l0-sampler levels).

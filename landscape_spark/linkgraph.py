@@ -112,6 +112,82 @@ lg_vertices AS MATERIALIZED (
 # SimpleStream-style synthetic edge generator (bench-scale; no oracle needed)
 # ---------------------------------------------------------------------------
 
+def er_toggle_stream(
+    spark: SparkSession,
+    n_vertices: int,
+    p_edge: float,
+    rounds: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Insert/delete churn stream whose FINAL graph is G(n, p): every vertex
+    pair is toggled in each of ``rounds``-1 full rounds (insert, delete,
+    insert, ...), then a hash-predicate correction round decides final
+    presence — the reference's Erdős–Rényi streamer family
+    (/root/reference/tools/streaming/gz_specific/gz_sequential_streamer.cpp:42-95:
+    R-1 toggle rounds + correction round with `(hash & 0xffffff) > cutoff`).
+
+    Returns (upd_idx, a, b, round). Net presence of {a,b} = (rounds-1 toggles
+    + correction) parity: pairs passing the predicate end PRESENT iff the
+    total toggle count is odd. ~50% of updates are deletions for rounds>=3.
+    """
+    n = n_vertices
+    cutoff = int(p_edge * MOD)
+    pair = spark.range(n * (n - 1) // 2).select(F.col("id").alias("pid"))
+    # decode pid -> (a, b) canonical upper-triangle pair
+    # a = floor((2n-1 - sqrt((2n-1)^2 - 8*pid)) / 2), b = pid - a*(2n-1-a)/2 + a + 1
+    a = F.floor(
+        (F.lit(2 * n - 1) - F.sqrt(F.lit((2 * n - 1) ** 2) - 8 * F.col("pid"))) / 2
+    ).cast("long")
+    b = (F.col("pid") - a * (F.lit(2 * n - 1) - a) / 2 + a + 1).cast("long")
+    pairs = pair.select("pid", a.alias("a"), b.alias("b"))
+    h = F.pmod(F.xxhash64("pid", F.lit(seed)), F.lit(MOD))
+    keep = (h < F.lit(cutoff)).alias("final_present")
+    pairs = pairs.select("pid", "a", "b", keep)
+    streams = []
+    n_pairs = n * (n - 1) // 2
+    for r in range(rounds - 1):  # full toggle rounds
+        streams.append(
+            pairs.select(
+                (F.col("pid") + F.lit(r * n_pairs)).alias("upd_idx"),
+                "a",
+                "b",
+                F.lit(r).alias("round"),
+            )
+        )
+    # correction round: toggle once more iff parity(rounds-1) != final_present
+    want_toggle = (
+        F.lit((rounds - 1) % 2 == 1) != F.col("final_present")
+    )
+    streams.append(
+        pairs.where(want_toggle).select(
+            (F.col("pid") + F.lit((rounds - 1) * n_pairs)).alias("upd_idx"),
+            "a",
+            "b",
+            F.lit(rounds - 1).alias("round"),
+        )
+    )
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def net_edges(stream: DataFrame) -> DataFrame:
+    """Stream -> static net-presence graph: edges with ODD update count
+    survive (insert/delete cancel pairwise) — the reference's stream->static
+    converter (/root/reference/tools/to_static.cpp:11-58). Input columns
+    (a, b) in any order; output canonical (a < b) distinct."""
+    canon = stream.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    return (
+        canon.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") % 2 == 1)
+        .select("a", "b")
+    )
+
+
 def synth_edge_stream(
     spark: SparkSession, n_vertices: int, n_updates: int, seed: int = 42
 ) -> DataFrame:

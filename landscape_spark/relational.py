@@ -1,0 +1,147 @@
+"""Relational query surface over the star-schema tables.
+
+The reference engine has no relational operators (SURVEY.md §2.6) — these
+demonstrate the engine's composition surface (windows, sessionization,
+joins, date functions, top-k) as PySpark plans with exact DuckDB oracles.
+Every query is a single declarative plan: Catalyst handles pushdown, join
+selection, and partial aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user by total value per event_type (groupBy + window rank)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "user_id", "total_value")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user: (user_id, session_id, n_events,
+    session_start, session_end). Window lag + running count of session starts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem join orders, monthly revenue (join + date_trunc + agg)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by revenue (join + agg + deterministic top-k)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("p_partkey", "revenue")
+    )
+
+
+RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_top_users": q_events_top_users,
+    "events_sessionize": q_events_sessionize,
+    "revenue_by_month": q_revenue_by_month,
+    "top_parts": q_top_parts,
+}
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "events_top_users": """
+WITH per AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 6) AS total_value
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY total_value DESC, user_id ASC) AS rn
+  FROM per
+) WHERE rn = 1
+""",
+    "events_sessionize": f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+    "revenue_by_month": """
+SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY date_trunc('month', o.o_orderdate)
+""",
+    "top_parts": """
+WITH per AS (
+  SELECT p.p_partkey AS p_partkey,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey
+)
+SELECT p_partkey, revenue FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, p_partkey ASC) AS rn
+  FROM per
+) WHERE rn <= 10
+""",
+}

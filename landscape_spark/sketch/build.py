@@ -57,11 +57,22 @@ def build_sketch_table(
     und_edges: DataFrame,
     params: SketchParams,
     num_partitions: int = 32,
+    salt: int = 1,
 ) -> DataFrame:
-    """Distributed supernode build. Returns DataFrame (vid, sketch)."""
-    upd = edge_updates(und_edges, params.n).repartition(
-        num_partitions, F.pmod(F.col("vid"), F.lit(num_partitions))
-    )
+    """Distributed supernode build. Returns DataFrame (vid, sketch).
+
+    salt > 1 enables EXPLICIT SALTED REPARTITIONING for hub-vertex skew
+    (north rule): a hub vertex's updates are split across ``salt`` sub-keys,
+    each partition builds a PARTIAL sketch, and a second XOR-merge stage
+    combines them — the linear-sketch analog of two-phase (partial+final)
+    aggregation (SURVEY.md §2.2 I6). Linearity guarantees the salted result
+    is bit-identical to the unsalted one."""
+    upd = edge_updates(und_edges, params.n)
+    if salt > 1:
+        sub = F.col("vid") * F.lit(salt) + F.pmod(F.xxhash64("code"), F.lit(salt))
+        upd = upd.repartition(num_partitions, sub)
+    else:
+        upd = upd.repartition(num_partitions, F.col("vid"))
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         vid_parts, code_parts = [], []
@@ -78,14 +89,17 @@ def build_sketch_table(
             names=["vid", "sketch"],
         )
 
-    return upd.mapInArrow(build, SKETCH_SCHEMA)
+    partials = upd.mapInArrow(build, SKETCH_SCHEMA)
+    if salt > 1:
+        return xor_merge_by_key(partials, "vid", num_partitions)
+    return partials
 
 
 def xor_merge_by_key(df: DataFrame, key: str, num_partitions: int = 32) -> DataFrame:
     """GroupBy-key XOR merge of sketch rows (the linear sketch-addition
     aggregation, A2/A3 in SURVEY.md §2.3). One shuffle; fold is vectorized
     reduceat per partition."""
-    part = df.repartition(num_partitions, F.pmod(F.col(key), F.lit(num_partitions)))
+    part = df.repartition(num_partitions, F.col(key))
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         keys_parts, blob_parts = [], []

@@ -126,25 +126,43 @@ def build_sketches(
     RC = len(seeds)
     D = params.depths
     row_len = params.n_slots
-    rc_off = (np.arange(RC, dtype=np.int64) * D)[None, :]
 
+    # Loop (chunk x rc) with PREALLOCATED E-sized buffers and in-place ufuncs:
+    # an (E, RC) hash matrix would stream ~10x the data through DRAM, and
+    # fresh 512KB temporaries per column would mmap/munmap on every call —
+    # both collapse under 32 concurrent executors. This loop allocates
+    # nothing inside the hot path.
+    from landscape_spark.hashing import splitmix64_inplace, trailing_zeros_inplace
+
+    E0 = min(chunk, len(codes))
+    h = np.empty(E0, dtype=np.uint64)
+    tmp = np.empty(E0, dtype=np.uint64)
+    f64 = np.empty(E0, dtype=np.float64)
+    d = np.empty(E0, dtype=np.int64)
+    flat = np.empty(E0, dtype=np.int64)
     for start in range(0, len(codes), chunk):
         cs = codes[start : start + chunk]
         ls = li[start : start + chunk]
         E = len(cs)
         if E == 0:
             continue
-        h = splitmix64(cs[:, None] ^ seeds[None, :])  # (E, RC)
-        d = trailing_zeros(h, D - 1)  # (E, RC)
-        # VALUE cell position; CHECK cell is +1
-        flat = (ls[:, None] * row_len + 2 + (rc_off + d) * 2).ravel()
-        vals = np.repeat(cs, RC)
+        hE, tmpE, f64E, dE, flatE = h[:E], tmp[:E], f64[:E], d[:E], flat[:E]
         chks = checksum(cs)
-        np.bitwise_xor.at(o, flat, vals)
-        np.bitwise_xor.at(o, flat + 1, np.repeat(chks, RC))
         det_flat = ls * row_len  # deterministic bucket once per update
         np.bitwise_xor.at(o, det_flat, cs)
         np.bitwise_xor.at(o, det_flat + 1, chks)
+        val_base = det_flat + 2
+        for rc in range(RC):
+            np.bitwise_xor(cs, seeds[rc], out=hE)
+            splitmix64_inplace(hE, tmpE)
+            trailing_zeros_inplace(hE, D - 1, f64E, dE, tmpE)
+            # flat = val_base + (rc*D + d) * 2
+            np.add(dE, rc * D, out=flatE)
+            np.multiply(flatE, 2, out=flatE)
+            np.add(flatE, val_base, out=flatE)
+            np.bitwise_xor.at(o, flatE, cs)
+            flatE += 1
+            np.bitwise_xor.at(o, flatE, chks)
     return uvids, out
 
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -109,42 +108,44 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, seed: int = 42, n: int = NGRAM
 ) -> DataFrame:
     """(doc_id, sig array<long>): MinHash over character n-gram shingles.
-    Arrow-vectorized: shingle -> uint64 via seeded splitmix64 chain; per-doc
-    min across shingles for each of num_hashes independent hash functions."""
-    sh = shingles(docs, n)
+
+    No per-row Python anywhere: the shingle is hashed JVM-side (xxhash64
+    inside whole-stage codegen), and the Arrow kernel derives the
+    num_hashes independent functions from that base hash with splitmix64 +
+    per-doc minimum.reduceat — pure vectorized numpy."""
+    shh = shingles(docs, n).select(
+        "doc_id", F.xxhash64("sh", F.lit(seed)).alias("shh")
+    )
 
     def sig(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64) + np.uint64(seed << 8))
-        acc: dict[int, np.ndarray] = {}
+        ids_parts, h_parts = [], []
         for b in batches:
-            doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            shs = b.column("sh").to_pylist()
-            base = np.array(
-                [hash_bytes_u64(s.encode("utf-8")) for s in shs], dtype=np.uint64
-            )
-            hs = splitmix64(base[:, None] ^ seeds[None, :])  # (E, H)
-            order = np.argsort(doc_ids, kind="stable")
-            ds, hss = doc_ids[order], hs[order]
-            starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
-            mins = np.minimum.reduceat(hss, starts, axis=0)
-            for d, m in zip(ds[starts], mins):
-                prev = acc.get(int(d))
-                acc[int(d)] = m if prev is None else np.minimum(prev, m)
-        if not acc:
+            ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            h_parts.append(b.column("shh").to_numpy(zero_copy_only=False))
+        if not ids_parts:
             return
-        ids = sorted(acc)
+        doc_ids = np.concatenate(ids_parts).astype(np.int64)
+        base = np.concatenate(h_parts).astype(np.int64).view(np.uint64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, base = doc_ids[order], base[order]
+        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
+        G = len(starts)
+        out = np.empty((G, num_hashes), dtype=np.uint64)
+        for i in range(num_hashes):
+            h = splitmix64(base ^ seeds[i])
+            out[:, i] = np.minimum.reduceat(h, starts)
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(ids, type=pa.int64()),
+                pa.array(doc_ids[starts], type=pa.int64()),
                 pa.array(
-                    [acc[i].astype(np.int64).tolist() for i in ids],
-                    type=pa.list_(pa.int64()),
+                    out.astype(np.int64).tolist(), type=pa.list_(pa.int64())
                 ),
             ],
             names=["doc_id", "sig"],
         )
 
-    part = sh.repartition(F.col("doc_id"))
+    part = shh.repartition(F.col("doc_id"))
     return part.mapInArrow(sig, "doc_id long, sig array<long>")
 
 
@@ -207,34 +208,48 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, seed: int = 42) -> DataFrame:
-    """(doc_id, simhash long): sign-aggregated 64-bit token-hash sketch."""
+    """(doc_id, simhash long): sign-aggregated 64-bit token-hash sketch.
+    Tokens are hashed JVM-side (explode + xxhash64); the Arrow kernel does
+    per-doc bit-voting with add.reduceat — no per-row Python. Docs with no
+    tokens get simhash 0."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok", F.lit(seed)).alias("th"))
 
     def sh(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids_parts, h_parts = [], []
         for b in batches:
-            pdf = b.to_pandas()
-            out_ids, out_hash = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split()
-                if not toks:
-                    out_ids.append(int(doc_id))
-                    out_hash.append(0)
-                    continue
-                hs = np.array([hash_bytes_u64(t.encode()) for t in toks], dtype=np.uint64)
-                hs = splitmix64(hs ^ np.uint64(seed))
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-                votes = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
-                word = np.uint64(0)
-                for i in range(64):
-                    if votes[i] > 0:
-                        word |= np.uint64(1) << np.uint64(i)
-                out_ids.append(int(doc_id))
-                out_hash.append(int(word.view(np.int64) if hasattr(word, "view") else word))
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame({"doc_id": out_ids, "simhash": np.array(out_hash, dtype=np.int64)}),
-                preserve_index=False,
+            ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            h_parts.append(b.column("th").to_numpy(zero_copy_only=False))
+        if not ids_parts:
+            return
+        doc_ids = np.concatenate(ids_parts).astype(np.int64)
+        hs = np.concatenate(h_parts).astype(np.int64).view(np.uint64)
+        hs = splitmix64(hs)  # decorrelate from xxhash64 structure
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, hs = doc_ids[order], hs[order]
+        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
+        counts = np.diff(np.r_[starts, len(doc_ids)])
+        G = len(starts)
+        word = np.zeros(G, dtype=np.uint64)
+        for bit in range(64):
+            ones = np.add.reduceat(
+                ((hs >> np.uint64(bit)) & np.uint64(1)).astype(np.int64), starts
             )
+            word |= (2 * ones > counts).astype(np.uint64) << np.uint64(bit)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids[starts], type=pa.int64()),
+                pa.array(word.view(np.int64), type=pa.int64()),
+            ],
+            names=["doc_id", "simhash"],
+        )
 
-    return docs.select("doc_id", "text").mapInArrow(sh, "doc_id long, simhash long")
+    sigs = toks.repartition(F.col("doc_id")).mapInArrow(sh, "doc_id long, simhash long")
+    return docs.select("doc_id").join(sigs, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash")
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) -> DataFrame:

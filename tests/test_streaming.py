@@ -1,0 +1,91 @@
+"""Streaming ingest facade: micro-batched sketch accumulation, in-stream
+queries (reference's breakpointed continuous queries,
+/root/reference/test/distributed_graph_test.cpp:191-223), deletion semantics,
+and a real Structured Streaming file-source run."""
+
+from __future__ import annotations
+
+import networkx as nx
+from pyspark.sql import functions as F
+
+from landscape_spark.sketch.boruvka import components_with_isolated
+from landscape_spark.sketch.l0 import SketchParams
+from landscape_spark.streaming.ingest import SketchStreamIngestor
+
+
+def _cc_oracle(edges, n):
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(edges)
+    return {v: min(c) for c in nx.connected_components(g) for v in c}
+
+
+def test_microbatch_accumulation_and_instream_queries(spark, tmp_path):
+    n = 64
+    params = SketchParams.for_graph(n, seed=3)
+    ing = SketchStreamIngestor(spark, params, str(tmp_path / "st"), num_partitions=2)
+    batch1 = [(1, 2), (2, 3), (10, 11)]
+    batch2 = [(3, 4), (11, 12), (20, 21)]
+    v = spark.range(n).select(F.col("id").alias("v"))
+
+    ing.absorb_batch(spark.createDataFrame(batch1, "a long, b long"), 0)
+    got1 = {
+        r.v: r.comp
+        for r in components_with_isolated(spark, ing.query_components(n), v).collect()
+    }
+    assert got1 == _cc_oracle(batch1, n)  # query reflects ONLY batch 1
+
+    ing.absorb_batch(spark.createDataFrame(batch2, "a long, b long"), 1)
+    got2 = {
+        r.v: r.comp
+        for r in components_with_isolated(spark, ing.query_components(n), v).collect()
+    }
+    assert got2 == _cc_oracle(batch1 + batch2, n)
+
+
+def test_stream_deletions(spark, tmp_path):
+    """Re-sending an edge deletes it (XOR linearity) — the reference's
+    INSERT/DELETE stream semantics."""
+    n = 16
+    params = SketchParams.for_graph(n, seed=5)
+    ing = SketchStreamIngestor(spark, params, str(tmp_path / "st2"), num_partitions=2)
+    ing.absorb_batch(spark.createDataFrame([(1, 2), (2, 3)], "a long, b long"), 0)
+    ing.absorb_batch(spark.createDataFrame([(2, 3)], "a long, b long"), 1)  # delete
+    v = spark.range(n).select(F.col("id").alias("v"))
+    got = {
+        r.v: r.comp
+        for r in components_with_isolated(spark, ing.query_components(n), v).collect()
+    }
+    assert got == _cc_oracle([(1, 2)], n)
+
+
+def test_real_structured_stream_file_source(spark, tmp_path):
+    """End-to-end readStream (file source, availableNow trigger) ->
+    foreachBatch sketch merge -> final CC equals the static answer."""
+    n = 32
+    src_dir = tmp_path / "edges_in"
+    src_dir.mkdir()
+    edges = [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (9, 10)]
+    # two files -> at least one micro-batch each under availableNow
+    spark.createDataFrame(edges[:3], "a long, b long").write.parquet(
+        str(src_dir / "f1.parquet")
+    )
+    spark.createDataFrame(edges[3:], "a long, b long").write.parquet(
+        str(src_dir / "f2.parquet")
+    )
+    params = SketchParams.for_graph(n, seed=7)
+    ing = SketchStreamIngestor(spark, params, str(tmp_path / "st3"), num_partitions=2)
+    stream = (
+        spark.readStream.schema("a long, b long")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = ing.start(stream)
+    q.awaitTermination(120)
+    assert ing.batches_seen >= 1
+    v = spark.range(n).select(F.col("id").alias("v"))
+    got = {
+        r.v: r.comp
+        for r in components_with_isolated(spark, ing.query_components(n), v).collect()
+    }
+    assert got == _cc_oracle(edges, n)
