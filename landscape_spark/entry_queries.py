@@ -83,6 +83,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(und)
 
 
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.graph.triangles import triangles_per_vertex
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return triangles_per_vertex(und, verts)
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from landscape_spark.sim.knn import knn_label_majority
+
+    return knn_label_majority(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=5)
+
+
 def q_cc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based Boruvka CC (the reference's production query path,
     /root/reference/src/graph_distrib_update.cpp:105-154). Exact w.h.p.;
@@ -107,6 +121,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "lpa": q_lpa,
     "triangle_count": q_triangle_count,
+    "triangles_per_vertex": q_triangles_per_vertex,
 }
 
 
@@ -195,6 +210,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
     "ann_cosine_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,  # rows-only: approximate by design
+    "knn_label": q_knn_label,
 }
 
 
@@ -315,6 +331,22 @@ FROM lg_undirected e1
 JOIN lg_undirected e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN lg_undirected e3 ON e3.a = e1.b AND e3.b = e2.b
 """,
+    "triangles_per_vertex": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM lg_undirected e1
+  JOIN lg_undirected e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN lg_undirected e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+per_v AS (
+  SELECT v, COUNT(*) AS cnt FROM (
+    SELECT UNNEST([x, y, z]) AS v FROM tri
+  ) GROUP BY v
+)
+SELECT lv.v AS v, COALESCE(p.cnt, 0) AS tri_cnt
+FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
+""",
 }
 
 
@@ -339,7 +371,10 @@ SELECT vec_id, sim FROM (
   FROM scored
 ) WHERE rn <= 10
 """
+    from landscape_spark.sim.knn import knn_label_majority_sql
+
     return {
+        "knn_label": knn_label_majority_sql(k=5),
         "token_stats": analysis.TOKEN_STATS_SQL,
         "quality_score": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,
