@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regs.update(entry_queries.GRAPH_QUERIES)
     regs.update(entry_queries.TEXT_QUERIES)
     regs.update(relational.RELATIONAL_QUERIES)
+    regs.update(entry_queries.EXTRA_QUERIES)
     return regs
 
 
@@ -41,6 +42,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(entry_queries.GRAPH_ORACLES)
     out.update(entry_queries.TEXT_ORACLES)
     out.update(relational.RELATIONAL_ORACLES)
+    out.update(entry_queries.EXTRA_ORACLES)
     # the sketch CC path is exact w.h.p. — hold it to the same SQL oracle
     out["cc_sketch"] = entry_queries.GRAPH_ORACLES["cc"]
     return out

@@ -30,7 +30,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ingest_n = int(os.environ.get("BENCH_INGEST_N", str(1 << 14)))
-    ingest_m = int(os.environ.get("BENCH_INGEST_M", str(1 << 20)))
+    ingest_m = int(os.environ.get("BENCH_INGEST_M", str(1 << 22)))
 
     from pyspark.sql import functions as F
 
@@ -123,7 +123,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     docs.count()
     t0 = time.time()
-    dedup.minhash_lsh_dedup(docs, threshold=0.5).count()
+    dedup.minhash_lsh_dedup(docs, threshold=0.8).count()
     queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()

@@ -124,6 +124,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangles_per_vertex": q_triangles_per_vertex,
 }
 
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
 
 # ---------------------------------------------------------------------------
 # Text / dedup / similarity queries (training-data pipeline layer)
@@ -171,7 +173,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.text import dedup
 
     return dedup.minhash_lsh_dedup(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.5
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.8
     )
 
 
@@ -390,3 +392,93 @@ SELECT f.doc_id, k.keep_id FROM fp f JOIN keep k ON k.fp = f.fp
 
 
 TEXT_ORACLES: dict[str, str] = _text_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Additional contract queries: point-query batch (Q3), rolling fingerprint,
+# page-extraction pipeline
+# ---------------------------------------------------------------------------
+
+def q_batched_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point-to-point connectivity (reference Q3,
+    /root/reference/src/graph_distrib_update.cpp:211-258 + the 'Batched
+    Reachability' experiment): 50 deterministic query pairs answered from a
+    cached CC result via two broadcast lookups."""
+    from landscape_spark.sketch.boruvka import batched_reachability
+
+    n = linkgraph.num_vertices(spark, sf_dir)
+    cc_result = q_cc(spark, sf_dir)
+    pairs = spark.range(50).select(
+        (F.col("id") % n).alias("a"),
+        ((F.col("id") * 7 + 3) % n).alias("b"),
+    )
+    return batched_reachability(cc_result, pairs)
+
+
+BATCHED_REACH_SQL = """
+WITH RECURSIVE {edges_cte},
+lg_sym AS (SELECT a AS v, b AS w FROM lg_undirected
+           UNION ALL SELECT b AS v, a AS w FROM lg_undirected),
+cc(v, l) AS (
+  SELECT v, v FROM lg_vertices
+  UNION
+  SELECT s.w, cc.l FROM cc JOIN lg_sym s ON s.v = cc.v
+),
+labels AS (SELECT v, MIN(l) AS comp FROM cc GROUP BY v),
+pairs AS (
+  SELECT i % (SELECT n FROM lg_n) AS a,
+         (i * 7 + 3) % (SELECT n FROM lg_n) AS b
+  FROM (SELECT UNNEST(range(50)) AS i)
+)
+SELECT p.a AS a, p.b AS b, (la.comp = lb.comp) AS connected
+FROM pairs p
+JOIN labels la ON la.v = p.a
+JOIN labels lb ON lb.v = p.b
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint, computed as a JVM-side
+    sequential fold (F.aggregate over the text's code points — whole-stage
+    codegen, no Python). h = fold(h * B + c) mod M with B=131, M=2^31-1 (Mersenne prime; intermediates < 2^39, ANSI-safe).
+    Rows-only in the gate (sequential folds are not ANSI-SQL-expressible
+    without recursion); exact-tested against a pure-Python reference in
+    tests/test_text_extra.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    B, M = 131, (1 << 31) - 1
+    fold = F.aggregate(
+        F.expr("transform(split(text, ''), ch -> ascii(ch))"),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * B + c) % M,
+    )
+    return docs.select("doc_id", fold.alias("rolling_fp"))
+
+
+def q_pages_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule extraction pipeline end-to-end: synthesize the
+    Common-Crawl-style pages table (size = documents count, deterministic
+    seed), extract (text, links) with the Arrow pipeline, build the url->vid
+    dictionary, return the edge list. Rows-only in the gate (HTML extraction
+    is not SQL-expressible); the byte-identical-text invariant is enforced in
+    tests/test_pages.py."""
+    from landscape_spark import pages as P
+
+    n = linkgraph.num_vertices(spark, sf_dir)
+    pg = P.synthesize_pages(spark, n, seed=42)
+    _, edges = P.edges_from_pages(pg)
+    return edges.select("src", "dst")
+
+
+EXTRA_QUERIES.update(
+    {
+        "batched_reachability": q_batched_reachability,
+        "rolling_fingerprint": q_rolling_fingerprint,  # rows-only: sequential fold
+        "pages_extract_edges": q_pages_extract_edges,  # rows-only: HTML extraction
+    }
+)
+
+EXTRA_ORACLES: dict[str, str] = {
+    "batched_reachability": BATCHED_REACH_SQL.format(
+        edges_cte=linkgraph.EDGES_CTE.strip().rstrip(",")
+    ),
+}

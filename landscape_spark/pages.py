@@ -183,7 +183,10 @@ def url_vertex_dictionary(extracted: DataFrame) -> DataFrame:
         .distinct()
     )
     w = Window.orderBy("u")
-    return urls.select(F.col("u").alias("url"), (F.row_number().over(w) - 1).alias("vid"))
+    return urls.select(
+        F.col("u").alias("url"),
+        (F.row_number().over(w) - 1).cast("long").alias("vid"),
+    )
 
 
 def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:

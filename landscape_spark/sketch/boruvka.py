@@ -108,9 +108,12 @@ def _boruvka_pass(
             .collect()
         )
         merged_any = False
+        touched: set[int] = set()
         for row in resolved:
             if dsu.union(row.comp_u, row.comp_v):
                 merged_any = True
+                touched.add(row.comp_u)
+                touched.add(row.comp_v)
                 forest.append((min(row.u, row.v), max(row.u, row.v)))
         if on_round is not None:
             on_round(g, len(resolved), merged_any)
@@ -118,17 +121,25 @@ def _boruvka_pass(
             if not resolved:
                 break  # no component produced a cut edge: converged (or dry)
             continue
-        remap = [(c, dsu.find(c)) for c in list(dsu.parent.keys())]
+        # remap ONLY this round's touched components (including absorbing
+        # roots mapping to themselves, so their rows enter the XOR-merge
+        # group); everything untouched passes through with ZERO shuffle —
+        # per-round merge traffic is O(components merged), which shrinks
+        # geometrically, not O(all supernodes).
+        remap = [(c, dsu.find(c)) for c in sorted(touched)]
         remap_df = F.broadcast(
             spark.createDataFrame(remap, "old_comp long, new_comp long")
         )
-        comp_sketch = (
-            comp_sketch.join(remap_df, comp_sketch.comp == remap_df.old_comp, "left")
-            .select(F.coalesce("new_comp", "comp").alias("comp"), "sketch")
+        joined = comp_sketch.join(
+            remap_df, comp_sketch.comp == remap_df.old_comp, "left"
         )
-        comp_sketch = xor_merge_by_key(comp_sketch, "comp", num_partitions).localCheckpoint(
-            eager=True
+        unchanged = joined.where(F.col("new_comp").isNull()).select("comp", "sketch")
+        changed = joined.where(F.col("new_comp").isNotNull()).select(
+            F.col("new_comp").alias("comp"), "sketch"
         )
+        comp_sketch = unchanged.unionAll(
+            xor_merge_by_key(changed, "comp", num_partitions)
+        ).localCheckpoint(eager=True)
         vmap = (
             vmap.join(remap_df, vmap.comp == remap_df.old_comp, "left")
             .select("v", F.coalesce("new_comp", "comp").alias("comp"))

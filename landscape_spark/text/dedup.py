@@ -188,19 +188,41 @@ def lsh_candidate_pairs(
 
 def minhash_lsh_dedup(
     docs: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 32,
+    bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates, EXACT-verified with true
-    n-gram Jaccard (so output ⊆ ngram_jaccard_pairs; recall measured in
+    n-gram Jaccard computed ONLY for the candidate pairs (array_intersect on
+    per-doc shingle sets — never the all-pairs shingle self-join, which
+    explodes quadratically on hot shingles; that quadratic exact join lives
+    in ngram_jaccard_pairs as the small-scale baseline). Output ⊆
+    ngram_jaccard_pairs; recall measured in
     tests). Returns (doc_lo, doc_hi, jac). Default banding (b=32, r=2)
     targets threshold~0.5: detect P = 1-(1-J^2)^32 = 0.9998 at J=0.5."""
     sigs = minhash_signatures(docs, num_hashes=num_hashes, seed=seed)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
-    exact = ngram_jaccard_pairs(docs, threshold)
-    return exact.join(cands, on=["doc_lo", "doc_hi"], how="left_semi")
+    sets = shingles(docs).groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+    inter = F.size(F.array_intersect("sh_lo", "sh_hi"))
+    return (
+        cands.join(
+            sets.select(F.col("doc_id").alias("doc_lo"), F.col("shs").alias("sh_lo")),
+            on="doc_lo",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_hi"), F.col("shs").alias("sh_hi")),
+            on="doc_hi",
+        )
+        .withColumn("inter", inter)
+        .withColumn(
+            "jac_raw",
+            F.col("inter")
+            / (F.size("sh_lo") + F.size("sh_hi") - F.col("inter")),
+        )
+        .where(F.col("jac_raw") >= threshold)
+        .select("doc_lo", "doc_hi", F.round("jac_raw", 6).alias("jac"))
+    )
 
 
 # ---------------------------------------------------------------------------
