@@ -34,13 +34,18 @@ def symmetrize(und_edges: DataFrame) -> DataFrame:
 def connected_components_exact(
     und_edges: DataFrame,
     vertices: DataFrame,
-    max_iter: int = 64,
+    max_iter: int = 512,
 ) -> DataFrame:
     """Return (v, comp) where comp is the MIN vertex id in v's component
-    (canonical labels — comparable across engines up to nothing: they are
-    unique fixpoints).
+    (canonical min labels, a unique fixpoint).
 
     und_edges: columns (a, b) with a < b. vertices: column (v).
+
+    max_iter bounds rounds at graph DIAMETER; near-critical random graphs
+    (m ~ n/2) grow paths of diameter ~n^(1/3), which overflowed an earlier
+    cap of 64 at n=65536 and silently mislabeled the path tails. The
+    sum-based convergence check exits as soon as labels are stable, so
+    short-diameter graphs (the web-graph case) never pay for the higher cap.
     """
     sym = symmetrize(und_edges)
     labels = vertices.select("v", F.col("v").alias("comp"))

@@ -54,3 +54,15 @@ def test_cc_isolated_vertices(spark):
     v = spark.range(5).select(F.col("id").alias("v"))
     got = {r.v: r.comp for r in connected_components_exact(e, v).collect()}
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
+
+
+def test_cc_long_path_diameter(spark):
+    """Path of 300 vertices (diameter 299): min-label propagation must still
+    converge — regression for the iteration cap that silently mislabeled
+    long-path tails at n=65536 (found via sketch-vs-exact cross-validation)."""
+    n = 300
+    edges = [(i, i + 1) for i in range(n - 1)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    v = spark.range(n).select(F.col("id").alias("v"))
+    got = {r.v: r.comp for r in connected_components_exact(e, v).collect()}
+    assert got == {i: 0 for i in range(n)}
