@@ -36,12 +36,8 @@ def main() -> None:
 
     from landscape_spark import linkgraph
     from landscape_spark.session import get_spark
-    from landscape_spark.sketch.boruvka import (
-        _boruvka_pass,
-        _initial_vmap,
-        components_with_isolated,
-    )
-    from landscape_spark.sketch.build import build_sketch_table
+    from landscape_spark.sketch.boruvka import _cc_rounds, _initial_vmap
+    from landscape_spark.sketch.build import build_group_slices
     from landscape_spark.sketch.l0 import SketchParams
 
     spark = get_spark(
@@ -61,8 +57,8 @@ def main() -> None:
     m_updates = stream.count()  # materialize generator cost outside the timer
     params = SketchParams.for_graph(ingest_n, seed=42)
     t0 = time.time()
-    sketches = build_sketch_table(stream, params, num_partitions=max(8, cpus))
-    n_sk = sketches.localCheckpoint(eager=True).count()
+    slices = build_group_slices(stream, params, num_partitions=max(8, cpus)).persist()
+    n_sk = slices.count()
     ingest_sec = time.time() - t0
     rate = m_updates / ingest_sec
     queries["ingest_sketch_build"] = round(ingest_sec, 3)
@@ -70,15 +66,17 @@ def main() -> None:
 
     # CC query latency on the ingested sketches (algorithm phase only —
     # flush phase is the build above, mirroring the reference's split)
+    rounds_used = [0]
     t0 = time.time()
-    sk_ck = sketches.localCheckpoint(eager=True)
-    vmap, _, rounds_used = _boruvka_pass(
-        spark, sk_ck, _initial_vmap(stream), params, 0, params.rounds, max(8, cpus)
+    vmap0 = slices.select(F.col("vid").alias("v"), F.col("vid").alias("comp"))
+    vmap = _cc_rounds(
+        spark, slices, vmap0.localCheckpoint(eager=True), params, 0, max(8, cpus),
+        on_round=lambda g, s, m: rounds_used.__setitem__(0, g + 1),
     )
     n_comp = vmap.select("comp").distinct().count()
     cc_alg_sec = time.time() - t0
     queries["cc_sketch_query"] = round(cc_alg_sec, 3)
-    log(f"[cc_sketch] {n_comp} components, {rounds_used} rounds, {cc_alg_sec:.2f}s")
+    log(f"[cc_sketch] {n_comp} components, {rounds_used[0]} rounds, {cc_alg_sec:.2f}s")
 
     # ------------------------------------------------------------------
     # 2. Link-graph analytics on the sf dir (derived documents graph)

@@ -39,13 +39,14 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TakeOrderedAndProject top-k (per-partition heaps, k-row driver merge) —
+    # never a global single-partition window.
     e = linkgraph.directed_edges(spark, sf_dir)
-    w = Window.orderBy(F.desc("in_deg"), F.asc("v"))
     return (
         e.groupBy(F.col("dst").alias("v"))
         .agg(F.count(F.lit(1)).alias("in_deg"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        .orderBy(F.desc("in_deg"), F.asc("v"))
+        .limit(20)
         .select("v", "in_deg")
     )
 

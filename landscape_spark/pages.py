@@ -145,47 +145,81 @@ def extract_text_oracle(pages_pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """Distributed extraction: (url, text, out_url). One Arrow pass; no
-    per-row Python UDFs. Explodes to one row per out-link (pages with no
-    links yield out_url NULL so text coverage stays total)."""
+    """Distributed extraction: (url, text, out_url). One Arrow pass, fully
+    vectorized pandas .str ops over each batch — zero per-row Python (the
+    north-rule production extractor must not row-loop). Explodes to one row
+    per out-link (pages with no links yield out_url NULL so text coverage
+    stays total)."""
 
     def ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, texts, outs = [], [], []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                s = html.decode("utf-8")
-                text = extract_text_from_html(s)
-                links = extract_links_from_html(s)
-                if not links:
-                    urls.append(url)
-                    texts.append(text)
-                    outs.append(None)
-                for link in links:
-                    urls.append(url)
-                    texts.append(text)
-                    outs.append(link)
-            yield pd.DataFrame({"url": urls, "text": texts, "out_url": outs})
+            if pdf.empty:
+                continue
+            s = pdf["html"].str.decode("utf-8")
+            text = (
+                s.str.replace(_TAG_RE, " ", regex=True)
+                .str.replace(_WS_RE, " ", regex=True)
+                .str.strip()
+            )
+            links = s.str.findall(_HREF_RE)
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "text": text.to_numpy(),
+                    "out_url": links.to_numpy(),
+                }
+            ).explode("out_url", ignore_index=True)
+            out["out_url"] = out["out_url"].astype(object).where(
+                out["out_url"].notna(), None
+            )
+            yield out
 
     return pages.select("url", "html").mapInPandas(
         ex, "url string, text string, out_url string"
     )
 
 
-def url_vertex_dictionary(extracted: DataFrame) -> DataFrame:
+def url_vertex_dictionary(extracted: DataFrame, num_partitions: int = 32) -> DataFrame:
     """Dense url->vid dictionary (the reference requires dense 0..n-1 ids,
-    graph_distrib_update.h:13). Built from page ids embedded in urls when
-    available; generic path: zipWithIndex-free dense_rank over sorted urls."""
+    graph_distrib_update.h:13), sorted by url.
+
+    zipWithIndex-style two-phase assignment — a global row_number window
+    would funnel EVERY url through one partition (at web scale, the whole
+    vertex set through one task): range-partition + sort by url, count rows
+    per partition (tiny DF), broadcast cumulative offsets back, add the
+    partition-local rank. Global order holds because range partitioning puts
+    smaller urls in lower partition ids."""
     from pyspark.sql import Window
 
     urls = (
         extracted.select(F.col("url").alias("u"))
-        .unionAll(extracted.where(F.col("out_url").isNotNull()).select(F.col("out_url").alias("u")))
+        .unionAll(
+            extracted.where(F.col("out_url").isNotNull()).select(
+                F.col("out_url").alias("u")
+            )
+        )
         .distinct()
     )
-    w = Window.orderBy("u")
-    return urls.select(
-        F.col("u").alias("url"),
-        (F.row_number().over(w) - 1).cast("long").alias("vid"),
+    ranged = (
+        urls.repartitionByRange(num_partitions, "u")
+        .sortWithinPartitions("u")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition assignment across reuses
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative offsets over <= num_partitions rows — windowing THIS tiny DF
+    # on one partition is free
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("pid").orderBy("u")
+    return (
+        ranged.join(F.broadcast(offsets), on="pid")
+        .select(
+            F.col("u").alias("url"),
+            (F.col("off") + F.row_number().over(w_local) - 1).cast("long").alias("vid"),
+        )
     )
 
 

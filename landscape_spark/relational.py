@@ -79,10 +79,11 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    # top-k heaps + a k-row driver merge, never a single-partition window.
     return (
-        per.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 10)
+        per.orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
         .select("p_partkey", "revenue")
     )
 
@@ -117,8 +118,8 @@ WITH marked AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

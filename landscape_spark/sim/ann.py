@@ -47,11 +47,10 @@ def brute_force_topk(
     parallel; top-k is a TakeOrdered (no full sort shuffle)."""
     sim = F.round(cosine_col("embedding", query), 6).alias("sim")
     scored = emb.select("vec_id", sim)
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("vec_id", "sim")
+    # orderBy().limit(k) = TakeOrderedAndProject: per-partition k-heaps
+    # merged on the driver — no single-partition WindowExec.
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k).select(
+        "vec_id", "sim"
     )
 
 
@@ -133,9 +132,6 @@ def lsh_topk(
     cands = cands.distinct()
     sim = F.round(cosine_col("embedding", query), 6).alias("sim")
     scored = emb.join(cands, on="vec_id", how="left_semi").select("vec_id", sim)
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("vec_id", "sim")
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k).select(
+        "vec_id", "sim"
     )

@@ -1,45 +1,140 @@
 """k-NN label-majority classification over the embeddings table.
 
-All-pairs cosine (exact) with deterministic ranking — the correctness
-baseline for embedding-space classification; the LSH tables in
-landscape_spark.sim.ann are the 100TB candidate-generation path. Fully
-SQL-expressible, so it ships with a DuckDB oracle.
+Two physical plans behind one logical operator:
+
+* exact broadcast-matrix path (N <= broadcast_threshold): the embedding
+  matrix is broadcast as a dense numpy array and each partition scores its
+  query rows against it with one BLAS matmul — a single mapInArrow scan, NO
+  CartesianProduct in the plan, no shuffle. Exact, so it matches the
+  all-pairs DuckDB oracle (deterministic ranking: rounded sim desc, nid asc).
+* LSH-candidate path (N above threshold — the 100TB plan): hyperplane-LSH
+  bucket collisions from landscape_spark.sim.ann generate candidates, exact
+  cosine rescores candidates only, per-query top-k majority. Approximate by
+  design; recall vs the exact path is measured in tests/test_ann.py.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from landscape_spark.sim.ann import _dot
+from landscape_spark.sim.ann import _dot, hyperplane_signatures
+
+BROADCAST_THRESHOLD = 200_000  # ~50MB of float32 at dim 64
 
 
-def knn_label_majority(emb: DataFrame, k: int = 5) -> DataFrame:
+def knn_label_majority(
+    emb: DataFrame, k: int = 5, broadcast_threshold: int = BROADCAST_THRESHOLD
+) -> DataFrame:
     """(vec_id, pred_label): majority label among the k nearest neighbors
     (cosine, self excluded); ties at the k-th rank broken by neighbor id,
     label ties by smallest label."""
-    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    b = emb.select(
+    n = emb.count()
+    if n <= broadcast_threshold:
+        return knn_exact_broadcast(emb, k)
+    return knn_lsh(emb, k)
+
+
+def _majority(labels: np.ndarray) -> int:
+    """Most frequent label, ties to the smallest label."""
+    vals, cnts = np.unique(labels, return_counts=True)  # vals sorted asc
+    return int(vals[np.argmax(cnts)])  # argmax returns FIRST max -> min label
+
+
+def knn_exact_broadcast(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact kNN via broadcast dense matrix + per-partition BLAS scoring."""
+    spark = emb.sparkSession
+    pdf = emb.select("vec_id", "embedding", "label").toPandas()
+    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    ids = pdf["vec_id"].to_numpy()[order].astype(np.int64)
+    labels = pdf["label"].to_numpy()[order].astype(np.int64)
+    mat = np.array([list(map(float, e)) for e in pdf["embedding"]], dtype=np.float64)[
+        order
+    ]
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, labels, mat_n))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bids, blabels, bmat = b.value
+        for qdf in batches:
+            if qdf.empty:
+                continue
+            qids = qdf["vec_id"].to_numpy().astype(np.int64)
+            q = np.array([list(map(float, e)) for e in qdf["embedding"]], dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(qn @ bmat.T, 6)  # ranking on ROUNDED sims (oracle parity)
+            preds = np.empty(len(qids), dtype=np.int64)
+            for i in range(len(qids)):
+                row = sims[i]
+                self_mask = bids == qids[i]
+                # order by (sim desc, nid asc); bids sorted asc so stable
+                # mergesort on -sim realizes exactly that tie-break
+                row = np.where(self_mask, -np.inf, row)
+                top = np.argsort(-row, kind="stable")[:k]
+                preds[i] = _majority(blabels[top])
+            yield pd.DataFrame({"vec_id": qids, "pred_label": preds})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        score, "vec_id long, pred_label long"
+    )
+
+
+def knn_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN: candidates = same-LSH-bucket pairs from n_tables
+    independent hyperplane tables; exact cosine rescoring of candidates only;
+    per-query top-k window (partitioned by qid — no global window). Vectors
+    with zero candidates keep their own label (degenerate fallback)."""
+    cands = None
+    for t in range(n_tables):
+        sigs = hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)
+        a = sigs.select(F.col("vec_id").alias("qid"), "bucket")
+        bb = sigs.select(F.col("vec_id").alias("nid"), "bucket")
+        c = (
+            a.join(bb, on="bucket")
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.distinct()
+    qe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    ne = emb.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "label"
     )
-    dot = _dot(F.col("qv"), F.col("nv"))
     sim = F.round(
-        dot / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))),
+        _dot(F.col("qv"), F.col("nv"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))),
         6,
     )
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", "label", sim.alias("sim"))
+    scored = (
+        cands.join(qe, on="qid").join(ne, on="nid").select("qid", "nid", "label", sim.alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    top = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     counts = top.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("cnt"))
     w2 = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("label"))
-    return (
+    best = (
         counts.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") == 1)
         .select(F.col("qid").alias("vec_id"), F.col("label").alias("pred_label"))
+    )
+    # zero-candidate vectors fall back to their own label
+    return (
+        emb.select("vec_id", "label")
+        .join(best, on="vec_id", how="left")
+        .select(
+            "vec_id", F.coalesce("pred_label", F.col("label")).alias("pred_label")
+        )
     )
 
 

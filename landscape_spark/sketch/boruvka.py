@@ -27,15 +27,31 @@ min-label SQL oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _np_arr(xs: list[int]) -> np.ndarray:
+    return np.asarray(xs, dtype=np.int64)
+
 from landscape_spark.sketch.build import (
+    build_group_slices,
     build_sketch_table,
+    fold_sample,
+    partial_fold,
     sample_table,
+    sample_vertex_groups,
+    slice_params,
     xor_merge_by_key,
 )
 from landscape_spark.sketch.l0 import SketchParams, build_sketches, edge_code, to_bytes
+
+# Above this many per-round samples the driver DSU is replaced by distributed
+# star contraction over the sampled component graph (the reference collects
+# every sample on rank 0, src/graph_distrib_update.cpp:105-154 — its
+# acknowledged ceiling; this removes it).
+COLLECT_THRESHOLD = 2_000_000
 
 
 class DSU:
@@ -176,6 +192,196 @@ def _initial_vmap(und_edges: DataFrame) -> DataFrame:
     )
 
 
+def _star_contraction(pairs: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Distributed connected components of the (tiny relative to the graph)
+    sampled component-pair graph: alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm). Converges in O(log^2) rounds to
+    stars centered at each group's minimum label.
+
+    Input: (x, y) component-id pairs, x != y. Output: (old_comp, new_comp)
+    for every component whose label changes (roots are omitted — their label
+    is already the group minimum). Everything stays distributed; nothing is
+    collected to the driver."""
+    e = (
+        pairs.select(F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        # large-star: every node links its strictly-larger neighbors to
+        # min(N(u) ∪ {u})
+        sym = e.select("x", "y").unionAll(
+            e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        mins = sym.groupBy("x").agg(F.min("y").alias("mn"))
+        mins = mins.select("x", F.least("x", "mn").alias("m"))
+        ls = (
+            sym.join(mins, on="x")
+            .where(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        # small-star: direct edges larger->smaller; every node links its
+        # smaller neighbors AND itself to the minimum
+        d = ls.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            d.join(mins2, on="u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if ss.count() == e.count() and ss.exceptAll(e).isEmpty():
+            break
+        e = ss
+    # converged: every edge is (root=min, leaf)
+    return e.select(F.col("y").alias("old_comp"), F.col("x").alias("new_comp"))
+
+
+def _cc_rounds(
+    spark: SparkSession,
+    slices: DataFrame,
+    vmap: DataFrame,
+    params: SketchParams,
+    start_group: int,
+    num_partitions: int,
+    on_round=None,
+    ckpt=None,
+    collect_threshold: int = COLLECT_THRESHOLD,
+    slices_path: str | None = None,
+    groups_per_pass: int = 4,
+) -> DataFrame:
+    """The Boruvka round loop over the columnar slice table.
+
+    Per PASS: project ``groups_per_pass`` group columns (column pruning ships
+    only those), stack them to (comp*j+i, slice) rows under the CURRENT
+    component labels, map-side partial XOR-fold, one shuffle fusing the final
+    fold with l0 sampling, then merge sampled component pairs (driver DSU
+    under collect_threshold samples, distributed star contraction above it)
+    and remap the vid->comp map.
+
+    Batching j groups per pass trades a few extra consumed sketch groups
+    (groups 2..j of a pass sample at the pass-start granularity, so some of
+    their samples land inside freshly-merged components and union as no-ops)
+    for j-times fewer Spark jobs — each pass still contracts at least as much
+    as one classic Boruvka round, so <= log2(n) passes. Vertex sketches are
+    built ONCE and never rewritten; per-pass materialization is O(n slice
+    bytes + vmap), not O(live supernodes x full sketch) as in round 1."""
+    import time as _time
+
+    sp = slice_params(params)
+    g = start_group
+    while g < params.rounds:
+        _t0 = _time.time()
+        # after the first pass most components are merged — later passes are
+        # mostly convergence checks, so sample fewer groups per pass
+        j_pass = groups_per_pass if g == start_group else min(2, groups_per_pass)
+        gs = list(range(g, min(g + j_pass, params.rounds)))
+        j = len(gs)
+        if g == 0:
+            # vmap is the identity and vertex rows are unique: sample straight
+            # off the vertex slices — no fold, no shuffle, no label joins
+            resolved = sample_vertex_groups(
+                slices, [f"g{gg}" for gg in gs], sp
+            ).select("gi", F.col("u").alias("comp_u"), F.col("v").alias("comp_v"))
+        else:
+            stack = F.expr(
+                f"stack({j}, "
+                + ", ".join(f"{i}L, g{gg}" for i, gg in enumerate(gs))
+                + ") as (gi, sketch)"
+            )
+            sl = slices.select(F.col("vid").alias("v"), stack)
+            keyed = sl.join(vmap, on="v").select(
+                (F.col("comp") * j + F.col("gi")).alias("ckey"), "sketch"
+            )
+            samples = fold_sample(
+                partial_fold(keyed, "ckey"), "ckey", sp, num_partitions
+            )
+            u_map = vmap.select(F.col("v").alias("u"), F.col("comp").alias("comp_u"))
+            v_map = vmap.select(F.col("v").alias("v2"), F.col("comp").alias("comp_v"))
+            resolved = (
+                samples.join(u_map, on="u")
+                .join(v_map, samples.v == v_map.v2)
+                .select((F.col("ckey") % j).alias("gi"), "comp_u", "comp_v")
+                .where(F.col("comp_u") != F.col("comp_v"))
+            )
+        # materialize the (tiny: <= live components x j rows) sample set ONCE,
+        # then count/collect from the checkpoint — limit().collect() would
+        # re-run the whole narrow sampling pipeline in incremental waves
+        resolved = resolved.localCheckpoint(eager=True)
+        n_samp = resolved.count()
+        if n_samp == 0:
+            if on_round is not None:
+                on_round(g, 0, False)
+            break
+        merged_any = False
+        if n_samp <= collect_threshold:
+            head = resolved.collect()
+            dsu = DSU()
+            touched: set[int] = set()
+            # apply the pass's sample sets in group order (determinism)
+            for row in sorted(head, key=lambda r: (r.gi, r.comp_u, r.comp_v)):
+                if dsu.union(row.comp_u, row.comp_v):
+                    touched.add(row.comp_u)
+                    touched.add(row.comp_v)
+            remap = [
+                (c, dsu.find(c)) for c in sorted(touched) if dsu.find(c) != c
+            ]
+            merged_any = bool(remap)
+            # Arrow path (pandas) — py4j row-by-row conversion of a ~n-sized
+            # remap would dominate the pass
+            remap_pdf = _pd.DataFrame(
+                {
+                    "old_comp": _np_arr([r[0] for r in remap]),
+                    "new_comp": _np_arr([r[1] for r in remap]),
+                }
+            )
+            remap_df = F.broadcast(spark.createDataFrame(remap_pdf))
+        else:
+            remap_df = _star_contraction(
+                resolved.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
+                num_partitions,
+            )
+            merged_any = True  # every surviving pair crosses components
+        if merged_any:
+            vmap = (
+                vmap.join(remap_df, vmap.comp == remap_df.old_comp, "left")
+                .select("v", F.coalesce("new_comp", "comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+        if on_round is not None:
+            on_round(g, n_samp, merged_any)
+        g += j
+        if ckpt is not None:
+            dfs = {"vmap": vmap}
+            if ckpt.latest_round() is None:
+                dfs["slices"] = slices
+            ckpt.save_round(
+                gs[0],
+                dfs,
+                {
+                    "next_group": g,
+                    "slices_path": slices_path
+                    or f"{ckpt.round_dir(gs[0])}/slices.parquet",
+                    "params": {
+                        "n": params.n,
+                        "rounds": params.rounds,
+                        "cols": params.cols,
+                        "depths": params.depths,
+                        "seed": params.seed,
+                    },
+                },
+                {"samples": n_samp, "round_sec": round(_time.time() - _t0, 3)},
+            )
+            if slices_path is None:
+                slices_path = f"{ckpt.round_dir(gs[0])}/slices.parquet"
+    return vmap
+
+
 def connected_components_sketch(
     spark: SparkSession,
     und_edges: DataFrame,
@@ -184,6 +390,8 @@ def connected_components_sketch(
     num_partitions: int = 32,
     on_round=None,
     checkpoint_dir: str | None = None,
+    collect_threshold: int = COLLECT_THRESHOLD,
+    groups_per_pass: int = 4,
 ) -> DataFrame:
     """Return (v, comp), comp = min vertex id of v's component. Isolated
     vertices never enter the sketch table; extend with components_with_isolated.
@@ -195,19 +403,29 @@ def connected_components_sketch(
         from landscape_spark.checkpoint import RoundCheckpointer
 
         ckpt = RoundCheckpointer(spark, checkpoint_dir, "boruvka_cc")
-    sketches = build_sketch_table(und_edges, params, num_partitions)
-    vmap, _, _ = _boruvka_pass(
+    # persist() (in-memory COLUMNAR cache), not localCheckpoint (row blocks):
+    # every pass projects only its groups' columns, and the columnar cache
+    # actually prunes them — a checkpointed row store would deserialize the
+    # full rounds-wide row every pass
+    slices = build_group_slices(und_edges, params, num_partitions).persist()
+    slices.count()
+    # the slice table has exactly one row per edge-incident vertex — the
+    # identity label map falls out for free (no distinct over the edge list)
+    vmap0 = slices.select(
+        F.col("vid").alias("v"), F.col("vid").alias("comp")
+    ).localCheckpoint(eager=True)
+    return _cc_rounds(
         spark,
-        sketches,
-        _initial_vmap(und_edges),
+        slices,
+        vmap0,
         params,
         start_group=0,
-        max_groups=params.rounds,
         num_partitions=num_partitions,
         on_round=on_round,
         ckpt=ckpt,
+        collect_threshold=collect_threshold,
+        groups_per_pass=groups_per_pass,
     )
-    return vmap
 
 
 def resume_connected_components(
@@ -217,7 +435,8 @@ def resume_connected_components(
     on_round=None,
 ) -> DataFrame:
     """Resume a checkpointed Boruvka CC mid-iteration: load the latest round's
-    (comp_sketch, vmap, DSU, next group) and continue to convergence."""
+    (vmap, next group) plus the once-written slice table and continue to
+    convergence."""
     from landscape_spark.checkpoint import RoundCheckpointer
 
     ckpt = RoundCheckpointer(spark, checkpoint_dir, "boruvka_cc")
@@ -229,26 +448,20 @@ def resume_connected_components(
     params = SketchParams(
         n=p["n"], rounds=p["rounds"], cols=p["cols"], depths=p["depths"], seed=p["seed"]
     )
-    resume_state = {
-        "comp_sketch": dfs["comp_sketch"],
-        "vmap": dfs["vmap"],
-        "dsu": lineage["state"]["dsu"],
-        "forest": lineage["state"]["forest"],
-        "next_group": lineage["state"]["next_group"],
-    }
-    vmap, _, _ = _boruvka_pass(
+    slices_path = lineage["state"]["slices_path"]
+    slices = spark.read.parquet(slices_path).localCheckpoint(eager=True)
+    vmap = dfs["vmap"].localCheckpoint(eager=True)
+    return _cc_rounds(
         spark,
-        None,
-        None,
+        slices,
+        vmap,
         params,
-        start_group=resume_state["next_group"],
-        max_groups=params.rounds,
+        start_group=lineage["state"]["next_group"],
         num_partitions=num_partitions,
         on_round=on_round,
         ckpt=ckpt,
-        resume_state=resume_state,
+        slices_path=slices_path,
     )
-    return vmap
 
 
 def k_spanning_forests(

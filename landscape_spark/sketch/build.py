@@ -119,6 +119,215 @@ def xor_merge_by_key(df: DataFrame, key: str, num_partitions: int = 32) -> DataF
     return part.mapInArrow(fold, f"{key} long, sketch binary")
 
 
+# ---------------------------------------------------------------------------
+# Columnar per-group layout (the CC fast path).
+#
+# The blob layout above stores ALL groups in one binary cell, so every Boruvka
+# round deserializes rounds*cols*depths*16 bytes per row just to sample ONE
+# group (~28KB/vertex at n=2^16) — the dominant cost of cc_sketch in round 1.
+# The columnar layout stores one binary column PER GROUP, each prefixed with
+# its own copy of the deterministic bucket (linear, so per-group copies merge
+# identically). Round g then projects only (vid, g{g}) — Spark column pruning
+# ships 1/rounds of the table through Arrow — and the per-round component
+# merge updates only the tiny vid->comp map, never rematerializing sketches.
+# ---------------------------------------------------------------------------
+
+
+def slice_params(params: SketchParams) -> SketchParams:
+    """Params describing a single-group slice row (det bucket + one group)."""
+    return SketchParams(
+        n=params.n, rounds=1, cols=params.cols, depths=params.depths, seed=params.seed
+    )
+
+
+def group_cols(params: SketchParams) -> list[str]:
+    return [f"g{g}" for g in range(params.rounds)]
+
+
+def _split_groups(sk: np.ndarray, params: SketchParams) -> list[np.ndarray]:
+    """(G, n_slots) full supernodes -> per-group (G, 2+spg) slices, each
+    carrying its own copy of the deterministic bucket."""
+    spg = params.slots_per_group
+    det = sk[:, :2]
+    return [
+        np.ascontiguousarray(
+            np.concatenate([det, sk[:, 2 + g * spg : 2 + (g + 1) * spg]], axis=1)
+        )
+        for g in range(params.rounds)
+    ]
+
+
+def build_group_slices(
+    und_edges: DataFrame,
+    params: SketchParams,
+    num_partitions: int = 32,
+    salt: int = 1,
+) -> DataFrame:
+    """Distributed supernode build, columnar-by-group:
+    (vid long, g0 binary, ..., g{R-1} binary). Same kernel, same single
+    shuffle, same salted two-phase option as build_sketch_table."""
+    upd = edge_updates(und_edges, params.n)
+    if salt > 1:
+        sub = F.col("vid") * F.lit(salt) + F.pmod(F.xxhash64("code"), F.lit(salt))
+        upd = upd.repartition(num_partitions, sub)
+    else:
+        upd = upd.repartition(num_partitions, F.col("vid"))
+    names = ["vid"] + group_cols(params)
+    schema = "vid long, " + ", ".join(f"{c} binary" for c in group_cols(params))
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vid_parts, code_parts = [], []
+        for b in batches:
+            vid_parts.append(b.column("vid").to_numpy(zero_copy_only=False))
+            code_parts.append(b.column("code").to_numpy(zero_copy_only=False))
+        if not vid_parts:
+            return
+        vids = np.concatenate(vid_parts).astype(np.int64)
+        codes = np.concatenate(code_parts).astype(np.int64).view(np.uint64)
+        uvids, sk = build_sketches(vids, codes, params)
+        arrays = [pa.array(uvids, type=pa.int64())]
+        for sl in _split_groups(sk, params):
+            arrays.append(pa.array(to_bytes(sl), type=pa.binary()))
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    partials = upd.mapInArrow(build, schema)
+    if salt > 1:
+        return xor_merge_slices(partials, "vid", params, num_partitions)
+    return partials
+
+
+def xor_merge_slices(
+    df: DataFrame, key: str, params: SketchParams, num_partitions: int = 32
+) -> DataFrame:
+    """GroupBy-key XOR merge of columnar slice rows (all group columns)."""
+    part = df.repartition(num_partitions, F.col(key))
+    names = group_cols(params)
+    schema = f"{key} long, " + ", ".join(f"{c} binary" for c in names)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        keys_parts: list[np.ndarray] = []
+        cols: dict[str, list[bytes]] = {nm: [] for nm in names}
+        for b in batches:
+            keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
+            for nm in names:
+                cols[nm].extend(b.column(nm).to_pylist())
+        if not keys_parts:
+            return
+        keys = np.concatenate(keys_parts).astype(np.int64)
+        wide = np.concatenate(
+            [
+                np.frombuffer(b"".join(cols[nm]), dtype=np.uint64).reshape(len(keys), -1)
+                for nm in names
+            ],
+            axis=1,
+        )
+        ids, folded = xor_fold_rows(wide, keys)
+        W = wide.shape[1] // len(names)
+        arrays = [pa.array(ids, type=pa.int64())]
+        for gi in range(len(names)):
+            arrays.append(
+                pa.array(
+                    to_bytes(np.ascontiguousarray(folded[:, gi * W : (gi + 1) * W])),
+                    type=pa.binary(),
+                )
+            )
+        yield pa.RecordBatch.from_arrays(arrays, names=[key] + names)
+
+    return part.mapInArrow(fold, schema)
+
+
+def partial_fold(df: DataFrame, key: str) -> DataFrame:
+    """Map-side combine: XOR-fold (key, sketch) rows WITHIN each partition —
+    no shuffle. The per-partition output is <= min(rows, distinct keys), so
+    the downstream shuffle moves component partials, not vertex rows (the
+    partial+final aggregation pattern, SURVEY.md §2.3 A3)."""
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        keys_parts, blob_parts = [], []
+        for b in batches:
+            keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
+            blob_parts.extend(b.column("sketch").to_pylist())
+        if not keys_parts:
+            return
+        keys = np.concatenate(keys_parts).astype(np.int64)
+        rows = np.frombuffer(b"".join(blob_parts), dtype=np.uint64).reshape(
+            len(keys), -1
+        )
+        ids, folded = xor_fold_rows(rows, keys)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, type=pa.int64()), pa.array(to_bytes(folded), type=pa.binary())],
+            names=[key, "sketch"],
+        )
+
+    return df.mapInArrow(fold, f"{key} long, sketch binary")
+
+
+def fold_sample(
+    df: DataFrame, key: str, sparams: SketchParams, num_partitions: int = 32
+) -> DataFrame:
+    """Final fold + l0 sample fused in one pass: (key, sketch-slice) rows ->
+    (key, u, v) for keys whose merged slice yields a sample. One shuffle on
+    key; the sample never leaves the executor as sketch bytes."""
+    part = df.repartition(num_partitions, F.col(key))
+
+    def fs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        keys_parts, blob_parts = [], []
+        for b in batches:
+            keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
+            blob_parts.extend(b.column("sketch").to_pylist())
+        if not keys_parts:
+            return
+        keys = np.concatenate(keys_parts).astype(np.int64)
+        rows = np.frombuffer(b"".join(blob_parts), dtype=np.uint64).reshape(
+            len(keys), -1
+        )
+        ids, folded = xor_fold_rows(rows, keys)
+        ok, u, v = sample_group(folded, 0, sparams)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids[ok], type=pa.int64()),
+                pa.array(u[ok], type=pa.int64()),
+                pa.array(v[ok], type=pa.int64()),
+            ],
+            names=[key, "u", "v"],
+        )
+
+    return part.mapInArrow(fs, f"{key} long, u long, v long")
+
+
+def sample_vertex_groups(
+    df: DataFrame, cols: list[str], sparams: SketchParams
+) -> DataFrame:
+    """Round-0 fast path: vertex slice rows are unique per vid and the
+    vid->comp map is the identity, so sampling needs NO fold, NO shuffle and
+    NO label joins — one scan emitting (gi, u, v) per (vertex, group) sample."""
+    sel = df.select(*cols)
+
+    def ms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            gis, us, vs = [], [], []
+            for gi, c in enumerate(cols):
+                rows = np.frombuffer(
+                    b"".join(b.column(c).to_pylist()), dtype=np.uint64
+                ).reshape(b.num_rows, -1)
+                ok, u, v = sample_group(rows, 0, sparams)
+                gis.append(np.full(int(ok.sum()), gi, dtype=np.int64))
+                us.append(u[ok])
+                vs.append(v[ok])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(gis), type=pa.int64()),
+                    pa.array(np.concatenate(us), type=pa.int64()),
+                    pa.array(np.concatenate(vs), type=pa.int64()),
+                ],
+                names=["gi", "u", "v"],
+            )
+
+    return sel.mapInArrow(ms, "gi long, u long, v long")
+
+
 def sample_table(df: DataFrame, key: str, group: int, params: SketchParams) -> DataFrame:
     """Per-row l0 sample from sketch group ``group``. Returns (key, u, v)
     for rows whose sample succeeded, plus live flag counts handled upstream."""

@@ -192,21 +192,45 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    est_margin: float = 0.25,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates, EXACT-verified with true
     n-gram Jaccard computed ONLY for the candidate pairs (array_intersect on
     per-doc shingle sets — never the all-pairs shingle self-join, which
     explodes quadratically on hot shingles; that quadratic exact join lives
-    in ngram_jaccard_pairs as the small-scale baseline). Output ⊆
-    ngram_jaccard_pairs; recall measured in
-    tests). Returns (doc_lo, doc_hi, jac). Default banding (b=32, r=2)
-    targets threshold~0.5: detect P = 1-(1-J^2)^32 = 0.9998 at J=0.5."""
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, seed=seed)
+    in ngram_jaccard_pairs as the small-scale baseline).
+
+    Verify-at-threshold: candidates are first SCREENED by the signature
+    Jaccard estimate (matching minhash fraction — a 512-byte JVM column
+    expression), and the heavy shingle-set fetch runs only for pairs with
+    estimate >= threshold - est_margin. With 64 hashes the estimate's sigma
+    at J=0.8 is ~0.05, so a 0.25 margin drops a true positive w.p. ~3e-7 —
+    output rows are unchanged while sub-threshold candidate mass (which LSH
+    banding lets through in bulk) never touches the shingle sets.
+
+    Output ⊆ ngram_jaccard_pairs; recall measured in tests. Returns
+    (doc_lo, doc_hi, jac)."""
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, seed=seed).cache()
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    est = F.size(
+        F.filter(F.zip_with("sig_lo", "sig_hi", lambda x, y: x == y), lambda b: b)
+    ) / F.lit(float(num_hashes))
+    screened = (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("doc_lo"), F.col("sig").alias("sig_lo")),
+            on="doc_lo",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_hi"), F.col("sig").alias("sig_hi")),
+            on="doc_hi",
+        )
+        .where(est >= threshold - est_margin)
+        .select("doc_lo", "doc_hi")
+    )
     sets = shingles(docs).groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
     inter = F.size(F.array_intersect("sh_lo", "sh_hi"))
     return (
-        cands.join(
+        screened.join(
             sets.select(F.col("doc_id").alias("doc_lo"), F.col("shs").alias("sh_lo")),
             on="doc_lo",
         )

@@ -66,3 +66,44 @@ def test_hyperplane_signatures_deterministic(emb):
     assert a == b
     c = {r.vec_id: r.bucket for r in ann.hyperplane_signatures(emb, 12, 64, seed=6).collect()}
     assert a != c
+
+
+def test_knn_exact_broadcast_matches_duckdb(emb, sf_small):
+    from landscape_spark.sim.knn import knn_exact_broadcast, knn_label_majority_sql
+
+    got = sorted(map(tuple, knn_exact_broadcast(emb, k=5).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    expected = sorted(con.execute(knn_label_majority_sql(k=5)).fetchall())
+    assert got == expected
+
+
+def test_knn_exact_plan_has_no_cartesian(emb):
+    from landscape_spark.sim.knn import knn_label_majority
+
+    plan = knn_label_majority(emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_knn_lsh_agreement_with_exact(spark):
+    """The 100TB LSH-candidate path on a clusterable corpus: label agreement
+    with the exact path must be high (candidates contain the true near
+    neighbors when real cluster structure exists)."""
+    rng = np.random.default_rng(3)
+    dim = 64
+    rows = []
+    centers = [rng.normal(size=dim) for _ in range(4)]
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + 0.15 * rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), c))
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label long")
+    from landscape_spark.sim.knn import knn_exact_broadcast, knn_lsh
+
+    exact = {r.vec_id: r.pred_label for r in knn_exact_broadcast(emb2, k=5).collect()}
+    approx = {r.vec_id: r.pred_label for r in knn_lsh(emb2, k=5).collect()}
+    agree = sum(exact[i] == approx[i] for i in exact) / len(exact)
+    assert agree >= 0.9, f"LSH kNN agreement too low: {agree}"

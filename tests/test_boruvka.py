@@ -77,3 +77,45 @@ def test_sketch_cc_random_insert_delete(spark, trial):
     oracle = _nx_canonical_components(net, n)
     got = _run(spark, net, n, seed=trial)
     assert got == oracle
+
+
+def test_sketch_cc_distributed_merge_path(spark):
+    """collect_threshold=0 forces EVERY round through the distributed
+    star-contraction merge (no driver DSU, nothing collected) — must equal
+    the oracle exactly."""
+    n = 1024
+    edges = multiples_graph_edges(n)
+    oracle = _nx_canonical_components(edges, n)
+    e = spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in edges}), "a long, b long"
+    )
+    v = spark.range(n).select(F.col("id").alias("v"))
+    vmap = connected_components_sketch(
+        spark, e, n, num_partitions=8, collect_threshold=0
+    )
+    full = components_with_isolated(spark, vmap, v)
+    got = {r.v: r.comp for r in full.collect()}
+    assert got == oracle
+    assert len(set(got.values())) == 78
+
+
+def test_star_contraction_matches_nx(spark):
+    """The distributed component-merge primitive against networkx on a messy
+    multi-component pair graph."""
+    import networkx as nx
+
+    from landscape_spark.sketch.boruvka import _star_contraction
+
+    rng = __import__("random").Random(7)
+    pairs = set()
+    for _ in range(300):
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            pairs.add((a, b))
+    g = nx.Graph(pairs)
+    df = spark.createDataFrame(sorted(pairs), "x long, y long")
+    remap = {r.old_comp: r.new_comp for r in _star_contraction(df, 8).collect()}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for v in comp:
+            assert remap.get(v, v) == root

@@ -10,13 +10,13 @@ from pyspark.sql import functions as F
 
 from landscape_spark.checkpoint import RoundCheckpointer
 from landscape_spark.sketch.boruvka import (
-    _boruvka_pass,
+    _cc_rounds,
     _initial_vmap,
     components_with_isolated,
     connected_components_sketch,
     resume_connected_components,
 )
-from landscape_spark.sketch.build import build_sketch_table
+from landscape_spark.sketch.build import build_group_slices
 from landscape_spark.sketch.l0 import SketchParams
 from tests.test_cc import _nx_canonical_components, multiples_graph_edges
 
@@ -32,14 +32,27 @@ def test_resume_mid_iteration_identical(spark, tmp_path):
     params = SketchParams.for_graph(n)
     ckpt_dir = str(tmp_path / "ck")
 
-    # phase 1: run only ONE round, checkpointing — then "crash"
+    # phase 1: run only ONE round, checkpointing — then "crash". _cc_rounds
+    # with a truncated params.rounds budget simulates dying after round 0.
     ckpt = RoundCheckpointer(spark, ckpt_dir, "boruvka_cc")
-    sketches = build_sketch_table(e, params, 4)
-    _boruvka_pass(
-        spark, sketches, _initial_vmap(e), params,
-        start_group=0, max_groups=1, num_partitions=4, ckpt=ckpt,
+    slices = build_group_slices(e, params, 4).localCheckpoint(eager=True)
+    one_round = SketchParams(
+        n=params.n, rounds=1, cols=params.cols, depths=params.depths, seed=params.seed
+    )
+    _cc_rounds(
+        spark, slices, _initial_vmap(e), one_round,
+        start_group=0, num_partitions=4, ckpt=ckpt,
     )
     assert ckpt.latest_round() == 0
+    # the checkpoint must record the FULL round budget so resume can continue
+    # past round 0 — patch the recorded params the way a real run would have
+    # written them (the truncation above is test scaffolding, not semantics).
+    lineage_path = os.path.join(ckpt.round_dir(0), "lineage.json")
+    with open(lineage_path) as f:
+        lineage = json.load(f)
+    lineage["state"]["params"]["rounds"] = params.rounds
+    with open(lineage_path, "w") as f:
+        json.dump(lineage, f)
 
     # phase 2: resume from disk in a "new" driver context
     vmap = resume_connected_components(spark, ckpt_dir, num_partitions=4)
@@ -61,12 +74,15 @@ def test_lineage_contents(spark, tmp_path):
         lineage = json.load(f)
     assert lineage["round"] == 0
     assert lineage["previous"] is None
-    assert set(lineage["tables"]) == {"comp_sketch", "vmap"}
+    # round 0 persists the once-written slice table + the vmap; later rounds
+    # persist only the vmap (slices are immutable — referenced by path).
+    assert set(lineage["tables"]) == {"slices", "vmap"}
     for meta in lineage["tables"].values():
         assert meta["rows"] > 0
         assert sum(meta["partition_rows"]) == meta["rows"]  # per-partition lineage
     assert "round_sec" in lineage["metrics"]
     assert lineage["state"]["params"]["n"] == 6
+    assert lineage["state"]["slices_path"].endswith("slices.parquet")
     # checkpointed tables are loadable
     df = spark.read.parquet(lineage["tables"]["vmap"]["path"])
     assert df.count() == lineage["tables"]["vmap"]["rows"]
