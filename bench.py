@@ -45,6 +45,9 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=max(8, cpus),
     )
+    from landscape_spark.metrics import HeartbeatReporter
+
+    hb = HeartbeatReporter(spark, "/tmp/landscape_heartbeat.jsonl", interval=0.5).start()
     queries: dict[str, float] = {}
 
     # ------------------------------------------------------------------
@@ -142,7 +145,36 @@ def main() -> None:
         "pagerank_iter_sec": round(pr_iter_sec, 3),
         "cc_query_sec": round(cc_alg_sec, 3),
     }
+    hb.stop()
+    result["heartbeat_samples"] = sum(1 for _ in open("/tmp/landscape_heartbeat.jsonl"))
     spark.stop()
+
+    # ------------------------------------------------------------------
+    # 4. Comm-factor epilogue (reference parser.py:21-27): re-run ingest at
+    # quarter scale in a fresh UI-enabled session (the REST status endpoint
+    # costs ~20% on job-heavy queries, so the TIMED session runs UI-off).
+    # Stream payload = 17 B/update (u8 type + 2 x u64 endpoints).
+    # ------------------------------------------------------------------
+    from landscape_spark.metrics import comm_factor, stage_totals
+
+    spark2 = get_spark(
+        app_name="landscape_bench_comm",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    stream2 = linkgraph.synth_edge_stream(
+        spark2, ingest_n, ingest_m // 4, seed=42
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    m2 = stream2.count()
+    snap0 = stage_totals(spark2)
+    build_group_slices(stream2, params, num_partitions=max(8, cpus)).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    cf = comm_factor(snap0, stage_totals(spark2), m2 * 17)
+    result["ingest_comm_factor"] = round(cf, 4) if cf is not None else None
+    log(f"[comm] factor={result['ingest_comm_factor']}")
+    spark2.stop()
     print(json.dumps(result))
 
 

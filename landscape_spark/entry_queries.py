@@ -470,11 +470,47 @@ def q_pages_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("src", "dst")
 
 
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: synthesize the media table (real BMP payloads),
+    decode with the pure-numpy BMP codec, extract intensity/edge features.
+    Rows-only in the gate (binary codecs are not SQL-expressible); codec
+    round-trips are exact-tested in tests/test_multimodal.py."""
+    from landscape_spark.multimodal import binaryops as B
+
+    n = min(linkgraph.num_vertices(spark, sf_dir), 500)
+    m = B.synthesize_media(spark, n, seed=42)
+    f = B.image_features(m)
+    return f.select(
+        "media_id",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+        F.round("edge_energy", 6).alias("edge_energy"),
+    )
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: real RIFF/WAVE PCM decode + rms/zcr/duration.
+    Rows-only (see q_media_image_features)."""
+    from landscape_spark.multimodal import binaryops as B
+
+    n = min(linkgraph.num_vertices(spark, sf_dir), 500)
+    m = B.synthesize_media(spark, n, seed=42)
+    f = B.audio_features(m)
+    return f.select(
+        "media_id",
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
 EXTRA_QUERIES.update(
     {
         "batched_reachability": q_batched_reachability,
         "rolling_fingerprint": q_rolling_fingerprint,  # rows-only: sequential fold
         "pages_extract_edges": q_pages_extract_edges,  # rows-only: HTML extraction
+        "media_image_features": q_media_image_features,  # rows-only: binary codec
+        "media_audio_features": q_media_audio_features,  # rows-only: binary codec
     }
 )
 

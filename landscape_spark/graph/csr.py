@@ -116,6 +116,21 @@ def pagerank_csr(
         ranks = (1.0 - damping) / n + damping * (contrib + dangling / n)
         rb.destroy()
     blocks.unpersist()
-    return spark.createDataFrame(
-        [(int(i), float(ranks[i])) for i in range(n)], "v long, pr_score double"
+    # emit DISTRIBUTED: broadcast the final dense vector and index it from a
+    # spark.range scan — no n-row Python list on the driver
+    final_b = sc.broadcast(ranks)
+
+    def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        r = final_b.value
+        for b in batches:
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(r[ids], type=pa.float64())],
+                names=["v", "pr_score"],
+            )
+
+    return (
+        spark.range(n)
+        .repartition(num_partitions)
+        .mapInArrow(emit, "v long, pr_score double")
     )

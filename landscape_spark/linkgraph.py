@@ -172,6 +172,141 @@ def er_toggle_stream(
     return out
 
 
+def _next_prime(x: int) -> int:
+    """Smallest prime >= x (trial division; fine up to ~1e12)."""
+    if x <= 2:
+        return 2
+    c = x | 1
+    while True:
+        d, is_p = 3, c % 2 != 0
+        while is_p and d * d <= c:
+            if c % d == 0:
+                is_p = False
+            d += 2
+        if is_p:
+            return c
+        c += 2
+
+
+STRIDE_K = 48_271  # minstd multiplier; gcd(k, p)=1 for any prime p > k
+
+
+def er_hash_stream(
+    spark: SparkSession,
+    n_vertices: int,
+    p_edge: float,
+    rounds: int = 3,
+    seed: int = 42,
+    sequential: bool = False,
+) -> DataFrame:
+    """O(1)-state-per-update Erdős–Rényi churn streamer — the Spark rendition
+    of the reference's HashStreamer / GZNonsequentialStreamer
+    (/root/reference/tools/streaming/hash_streamer.h:8-27 round semantics,
+    /root/reference/tools/streaming/gz_specific/gz_nonsequential_streamer.h:9-27
+    prime-stride enumeration). Any update is a pure column expression of its
+    enumeration index — NOTHING is materialized (unlike er_toggle_stream,
+    which builds the full pair table and cannot reach erdos20-class streams).
+
+    Enumeration: prime p >= n(n-1)/2; per round visit pair ids e = (i*k) % p
+    for i in 1..p-1 (a permutation of 1..p-1; sequential=True visits i-1
+    instead), skipping e >= n_pairs. Round 0 inserts pairs with bit0(h1)=1;
+    round r toggles pairs whose h1 bits r-1, r differ; the final round
+    corrects each pair to its target G(n, p) presence: h2-based predicate
+    pmod(xxhash64(e, seed+1), 2^31) < p_edge * 2^31 — so the NET graph
+    depends only on h2 (see er_hash_net_edges, the exact oracle).
+
+    Returns (upd_idx, a, b, round, is_insert); upd_idx has gaps (enumeration
+    slots with no update are skipped, as in the reference's next() loop).
+    """
+    n = n_vertices
+    n_pairs = n * (n - 1) // 2
+    prime = _next_prime(max(n_pairs, 3))
+    assert rounds >= 2
+    cutoff = int(p_edge * MOD)
+    per_round = prime - 1
+    total = rounds * per_round
+    idx = F.col("id")
+    i = idx % per_round + 1
+    r = (idx / per_round).cast("long")
+    e = ((i * STRIDE_K) % prime) if not sequential else (i - 1)
+    base = spark.range(total).select(
+        idx.alias("upd_idx"), r.alias("round"), e.alias("e")
+    ).where(F.col("e") < n_pairs)
+    # triangular decode e -> canonical pair (a < b)
+    a = F.floor(
+        (F.lit(2 * n - 1) - F.sqrt(F.lit(float((2 * n - 1) ** 2)) - 8 * F.col("e"))) / 2
+    ).cast("long")
+    b = (F.col("e") - a * (F.lit(2 * n - 1) - a) / 2 + a + 1).cast("long")
+    staged = base.select(
+        "upd_idx",
+        "round",
+        a.alias("a"),
+        b.alias("b"),
+        F.xxhash64("e", F.lit(seed)).alias("h1"),
+        (F.pmod(F.xxhash64("e", F.lit(seed + 1)), F.lit(MOD)) < F.lit(cutoff)).alias(
+            "want"
+        ),
+    )
+    bit_r = F.expr("(shiftright(h1, cast(round as int)) & 1)")
+    bit_prev = F.expr("(shiftright(h1, cast(round as int) - 1) & 1)")
+    bit_last = F.expr(f"(shiftright(h1, {rounds - 2}) & 1)")
+    rr = F.col("round")
+    emit_col = (
+        F.when(rr == 0, F.expr("(h1 & 1)") == 1)
+        .when(rr < rounds - 1, bit_r != bit_prev)
+        .otherwise((bit_last == 1) != F.col("want"))
+    )
+    type_col = (
+        F.when(rr == 0, F.lit(True))
+        .when(rr < rounds - 1, bit_r == 1)
+        .otherwise(F.col("want"))
+    )
+    return staged.where(emit_col).select(
+        "upd_idx", "a", "b", "round", type_col.alias("is_insert")
+    )
+
+
+def er_hash_net_edges(
+    spark: SparkSession, n_vertices: int, p_edge: float, seed: int = 42
+) -> DataFrame:
+    """The exact net-graph oracle for er_hash_stream: pair e is present in
+    the final graph iff the correction predicate holds — independent of the
+    churn rounds. One pass over the pair-id range (still no pair-set state;
+    use only at oracle-scale n)."""
+    n = n_vertices
+    n_pairs = n * (n - 1) // 2
+    cutoff = int(p_edge * MOD)
+    e = F.col("id")
+    a = F.floor(
+        (F.lit(2 * n - 1) - F.sqrt(F.lit(float((2 * n - 1) ** 2)) - 8 * e)) / 2
+    ).cast("long")
+    b = (e - a * (F.lit(2 * n - 1) - a) / 2 + a + 1).cast("long")
+    h2 = F.pmod(F.xxhash64(e, F.lit(seed + 1)), F.lit(MOD))
+    return (
+        spark.range(n_pairs)
+        .where(h2 < F.lit(cutoff))
+        .select(a.alias("a"), b.alias("b"))
+    )
+
+
+def verify_stream(stream: DataFrame) -> DataFrame:
+    """Stream well-formedness verifier (the reference's tooling analog,
+    /root/reference/tools/streaming/verify_stream.cpp:7-29): within each pair
+    (ordered by upd_idx) update types must alternate starting with INSERT —
+    no double-insert, no double-delete, no delete-before-insert. Returns the
+    violating rows (empty = well-formed). One window partitioned BY PAIR —
+    parallel across pairs, never a global window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a", "b").orderBy("upd_idx")
+    rn = F.row_number().over(w)
+    return (
+        stream.withColumn("rn", rn)
+        .where(F.col("is_insert") != (F.pmod(F.col("rn"), F.lit(2)) == 1))
+        .select("upd_idx", "a", "b", "is_insert")
+    )
+
+
 def net_edges(stream: DataFrame) -> DataFrame:
     """Stream -> static net-presence graph: edges with ODD update count
     survive (insert/delete cancel pairwise) — the reference's stream->static

@@ -1,0 +1,124 @@
+"""Runtime metrics: shuffle-byte accounting ("comm factor") + live heartbeat.
+
+The reference records a network communication factor — bytes-on-wire divided
+by raw stream bytes — from /proc/net/dev deltas
+(/root/reference/experiment/cluster_speed_expr.cpp:101-105,
+/root/reference/experiment/parser.py:21-27), and runs a status thread that
+samples per-distributor progress every 200 ms into an atomically-renamed
+status file (/root/reference/src/work_distributor.cpp:24-90).
+
+Spark analogs:
+* comm factor = total shuffle-write bytes (Spark's only wire traffic in
+  local/cluster mode besides task dispatch) / logical stream payload bytes,
+  read from the Spark REST status API (requires spark.ui.enabled=true —
+  bench.py enables it; functions return None gracefully when it is off).
+* HeartbeatReporter — a daemon thread sampling active stages + cumulative
+  shuffle/input bytes every ``interval`` seconds into a JSONL file via
+  atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import urllib.request
+
+from pyspark.sql import SparkSession
+
+
+def stage_totals(spark: SparkSession) -> dict | None:
+    """Cumulative stage metrics from the REST status API, or None when the
+    UI/REST endpoint is disabled."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app_id}/stages", timeout=5
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    tot = {
+        "shuffle_write_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "input_bytes": 0,
+        "output_bytes": 0,
+        "n_stages": len(stages),
+    }
+    for s in stages:
+        tot["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+        tot["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+        tot["input_bytes"] += s.get("inputBytes", 0)
+        tot["output_bytes"] += s.get("outputBytes", 0)
+    return tot
+
+
+def comm_factor(
+    before: dict | None, after: dict | None, payload_bytes: int
+) -> float | None:
+    """Bytes shuffled between two stage_totals snapshots / logical payload
+    bytes — the reference's comm-factor shape (parser.py:21-27)."""
+    if before is None or after is None or payload_bytes <= 0:
+        return None
+    wire = after["shuffle_write_bytes"] - before["shuffle_write_bytes"]
+    return wire / payload_bytes
+
+
+class HeartbeatReporter:
+    """Daemon thread writing {ts, active_stages, totals...} JSON lines to
+    ``path`` every ``interval`` seconds (atomic tmp+rename per flush, like
+    the reference's status file, work_distributor.cpp:83-88)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, interval: float = 0.2
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.interval = interval
+        self._stop = threading.Event()
+        self._lines: list[str] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _sample(self) -> dict:
+        tracker = self.spark.sparkContext.statusTracker()
+        rec: dict = {
+            "ts": round(time.time(), 3),
+            "active_stages": list(tracker.getActiveStageIds()),
+            "active_jobs": list(tracker.getActiveJobsIds()),
+        }
+        tot = stage_totals(self.spark)
+        if tot is not None:
+            rec.update(tot)
+        return rec
+
+    def _flush(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(self._lines) + ("\n" if self._lines else ""))
+        os.replace(tmp, self.path)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self._lines.append(json.dumps(self._sample()))
+                self._flush()
+            except Exception:
+                pass
+            self._stop.wait(self.interval)
+
+    def start(self) -> "HeartbeatReporter":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        try:
+            self._lines.append(json.dumps(self._sample()))
+            self._flush()
+        except Exception:
+            pass

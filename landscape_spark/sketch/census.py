@@ -1,0 +1,187 @@
+"""Sketch sampling-failure census — calibrates SketchParams slack.
+
+The reference measures its sketch failure probability empirically by
+repeatedly sampling in-stream over runs x samples and counting failures
+(/root/reference/experiment/cont_expr.cpp:22-43,60-66); its query paths
+tolerate per-round sampling failure by retrying with the next sketch group.
+Our analog: for a graph shape and a set of seeds, run the full Boruvka
+emulation in-process (numpy only — no Spark; the kernel is the same
+build_sketches/sample_group used by the distributed path) and count, per
+round, how many LIVE components (components that still have cut edges)
+failed to produce a valid l0 sample. The census justifies the
+``extra_rounds`` slack in SketchParams.for_graph: rounds_needed must stay
+<= log2(n) + extra_rounds across seeds, with failure rate per (component,
+round) attempt well under the per-group failure budget.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from landscape_spark.sketch.l0 import (
+    SketchParams,
+    build_sketches,
+    edge_code,
+    sample_group,
+)
+
+
+@dataclass
+class CensusResult:
+    shape: str
+    n: int
+    seeds: int
+    attempts: int  # live-component sampling attempts across rounds/seeds
+    failures: int  # attempts that produced no valid sample
+    max_rounds_used: int  # worst-case groups consumed to converge
+    budget_rounds: int  # params.rounds available
+
+    @property
+    def failure_rate(self) -> float:
+        return self.failures / self.attempts if self.attempts else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "shape": self.shape,
+            "n": self.n,
+            "seeds": self.seeds,
+            "attempts": self.attempts,
+            "failures": self.failures,
+            "failure_rate": round(self.failure_rate, 6),
+            "max_rounds_used": self.max_rounds_used,
+            "budget_rounds": self.budget_rounds,
+        }
+
+
+def _true_components(n: int, edges: list[tuple[int, int]]) -> list[int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [find(v) for v in range(n)]
+
+
+def census_one(
+    n: int, edges: list[tuple[int, int]], seed: int, params: SketchParams | None = None
+) -> tuple[int, int, int, int]:
+    """Run one seeded Boruvka emulation; return (attempts, failures,
+    rounds_used, budget)."""
+    params = params or SketchParams.for_graph(n, seed=seed)
+    ea = np.array([a for a, _ in edges], dtype=np.int64)
+    eb = np.array([b for _, b in edges], dtype=np.int64)
+    codes = edge_code(ea, eb, n)
+    vids = np.concatenate([ea, eb])
+    cc = np.concatenate([codes, codes])
+    uvids, rows = build_sketches(vids, cc, params)
+    truth = _true_components(n, edges)
+    incident = {int(v) for v in uvids}
+    truth_size: dict[int, int] = {}
+    for v in incident:
+        truth_size[truth[v]] = truth_size.get(truth[v], 0) + 1
+    n_true = len(truth_size)
+    # comp id -> XOR-merged supernode row; labels start as vertex ids
+    comp_rows = {int(v): rows[i].copy() for i, v in enumerate(uvids)}
+    label = {int(v): int(v) for v in uvids}
+    members: dict[int, list[int]] = {int(v): [int(v)] for v in uvids}
+
+    def find(x: int) -> int:
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    attempts = failures = 0
+    rounds_used = 0
+    for g in range(params.rounds):
+        if len(comp_rows) == n_true:
+            break  # every sketch component equals a true component
+        live = sorted(comp_rows)
+        mat = np.stack([comp_rows[c] for c in live])
+        ok, us, vs = sample_group(mat, g, params)
+        rounds_used = g + 1
+        for i, c in enumerate(live):
+            ms = members[c]
+            final = len(ms) == truth_size[truth[ms[0]]]
+            if final:
+                continue  # no cut edges: a failed sample here is CORRECT
+            attempts += 1
+            if not ok[i]:
+                failures += 1
+        for i in range(len(live)):
+            if not ok[i]:
+                continue
+            cu, cv = find(int(us[i])), find(int(vs[i]))
+            if cu == cv:
+                continue
+            lo, hi = min(cu, cv), max(cu, cv)
+            label[hi] = lo
+            comp_rows[lo] = comp_rows[lo] ^ comp_rows[hi]
+            members[lo].extend(members.pop(hi))
+            del comp_rows[hi]
+    assert len(comp_rows) == n_true, "census run failed to converge in budget"
+    return attempts, failures, rounds_used, params.rounds
+
+
+def graph_shapes(n: int, seed: int = 0) -> dict[str, list[tuple[int, int]]]:
+    """Census fixtures: path (max diameter), sparse G(n,p) (reference test
+    density p=0.002, distributed_graph_test.cpp:126-147), multiples graph
+    (the reference's golden 78-component fixture at n=1024)."""
+    rng = np.random.default_rng(seed)
+    path = [(i, i + 1) for i in range(n - 1)]
+    gnp = []
+    m = int(0.002 * n * (n - 1) / 2)
+    seen = set()
+    while len(gnp) < m:
+        a, b = int(rng.integers(n)), int(rng.integers(n))
+        if a == b:
+            continue
+        e = (min(a, b), max(a, b))
+        if e not in seen:
+            seen.add(e)
+            gnp.append(e)
+    multiples = [
+        (i, j) for i in range(2, n) for j in range(2 * i, n, i)
+    ]
+    return {"path": path, "gnp_0.002": gnp, "multiples": multiples}
+
+
+def run_census(n: int = 1024, n_seeds: int = 10) -> list[CensusResult]:
+    out = []
+    for shape, edges in graph_shapes(n).items():
+        attempts = failures = 0
+        max_rounds = 0
+        budget = SketchParams.for_graph(n).rounds
+        for s in range(n_seeds):
+            a, f, r, b = census_one(n, edges, seed=1000 + s)
+            attempts += a
+            failures += f
+            max_rounds = max(max_rounds, r)
+        out.append(
+            CensusResult(
+                shape=shape,
+                n=n,
+                seeds=n_seeds,
+                attempts=attempts,
+                failures=failures,
+                max_rounds_used=max_rounds,
+                budget_rounds=budget,
+            )
+        )
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    for r in run_census():
+        print(json.dumps(r.as_dict()))

@@ -48,6 +48,14 @@ class SketchStreamIngestor:
         self.state_dir = state_dir
         self.num_partitions = num_partitions
         self.batches_seen = 0
+        # GreedyCC-style result cache: the CC labels stay valid until the
+        # next absorbed batch (the reference's dsu_valid fast path,
+        # /root/reference/src/graph_distrib_update.cpp:107-120) — repeated
+        # point queries between updates reuse them
+        self._cc_cache_version: int | None = None
+        self._cc_cache_vmap: DataFrame | None = None
+        self.cc_cache_hits = 0
+        self.cc_cache_misses = 0
         os.makedirs(state_dir, exist_ok=True)
 
     @property
@@ -79,6 +87,9 @@ class SketchStreamIngestor:
             shutil.rmtree(self._cur)
         os.replace(tmp, self._cur)
         self.batches_seen += 1
+        # appended updates invalidate the cached CC result
+        self._cc_cache_version = None
+        self._cc_cache_vmap = None
 
     def start(self, stream_df: DataFrame, trigger_available_now: bool = True):
         """Attach to a streaming DataFrame with columns (a, b). Returns the
@@ -95,9 +106,14 @@ class SketchStreamIngestor:
 
     def query_components(self, n_vertices: int) -> DataFrame:
         """In-stream CC query on the committed sketch state (v, comp) for
-        edge-incident vertices. The micro-batch boundary is the flush barrier."""
+        edge-incident vertices. The micro-batch boundary is the flush barrier.
+        Results are cached until the next absorbed batch (GreedyCC)."""
         from landscape_spark.sketch.boruvka import _boruvka_pass
 
+        if self._cc_cache_version == self.batches_seen and self._cc_cache_vmap is not None:
+            self.cc_cache_hits += 1
+            return self._cc_cache_vmap
+        self.cc_cache_misses += 1
         sketches = self.current_sketches()
         if sketches is None:
             return self.spark.createDataFrame([], "v long, comp long")
@@ -111,4 +127,63 @@ class SketchStreamIngestor:
             max_groups=self.params.rounds,
             num_partitions=self.num_partitions,
         )
+        vmap = vmap.localCheckpoint(eager=True)
+        self._cc_cache_version = self.batches_seen
+        self._cc_cache_vmap = vmap
         return vmap
+
+    def burst_point_queries(self, pairs: DataFrame) -> DataFrame:
+        """A burst of point-to-point queries on the committed state — the
+        reference fires 100-query bursts at registered breakpoints
+        (/root/reference/experiment/cluster_query_expr.cpp:197-332). The
+        first query of a burst pays the Boruvka run; the rest hit the cache
+        (its dsu_valid / GreedyCC behavior)."""
+        from landscape_spark.sketch.boruvka import batched_reachability
+
+        cc = self.query_components(0)
+        return batched_reachability(cc, pairs)
+
+
+def replay_with_breakpoints(
+    spark: SparkSession,
+    updates: DataFrame,
+    breakpoints: list[int],
+    ingestor: SketchStreamIngestor,
+    burst_pairs: DataFrame | None = None,
+) -> list[dict]:
+    """Replay a static (upd_idx, a, b) update table as a breakpointed stream:
+    ingest each inter-breakpoint chunk as one micro-batch, then run an
+    in-stream query burst at the breakpoint — reporting the reference's
+    latency split: flush (committing in-flight updates into sketch state,
+    its gutter force_flush + pause barrier) vs algorithm (Boruvka + burst
+    lookups on committed state), cluster_query_expr.cpp:286-294.
+
+    Returns one dict per breakpoint: {breakpoint, flush_sec, alg_sec,
+    n_components, burst_connected} (burst fields when burst_pairs given).
+    """
+    import time
+
+    out: list[dict] = []
+    prev = 0
+    for q in breakpoints:
+        chunk = updates.where(
+            (F.col("upd_idx") >= prev) & (F.col("upd_idx") < q)
+        ).select("a", "b")
+        t0 = time.time()
+        ingestor.absorb_batch(chunk)
+        flush_sec = time.time() - t0
+        t0 = time.time()
+        cc = ingestor.query_components(0)
+        n_comp = cc.select("comp").distinct().count()
+        rec = {
+            "breakpoint": q,
+            "flush_sec": round(flush_sec, 3),
+            "n_components": n_comp,
+        }
+        if burst_pairs is not None:
+            res = ingestor.burst_point_queries(burst_pairs)
+            rec["burst_connected"] = res.where(F.col("connected")).count()
+        rec["alg_sec"] = round(time.time() - t0, 3)
+        out.append(rec)
+        prev = q
+    return out

@@ -192,7 +192,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
-    est_margin: float = 0.25,
+    est_margin: float = 0.2,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates, EXACT-verified with true
     n-gram Jaccard computed ONLY for the candidate pairs (array_intersect on
@@ -204,9 +204,12 @@ def minhash_lsh_dedup(
     Jaccard estimate (matching minhash fraction — a 512-byte JVM column
     expression), and the heavy shingle-set fetch runs only for pairs with
     estimate >= threshold - est_margin. With 64 hashes the estimate's sigma
-    at J=0.8 is ~0.05, so a 0.25 margin drops a true positive w.p. ~3e-7 —
-    output rows are unchanged while sub-threshold candidate mass (which LSH
-    banding lets through in bulk) never touches the shingle sets.
+    at J=0.8 is ~0.05, so the default 0.2 margin drops a true positive w.p.
+    ~3e-5 — output rows are unchanged (w.h.p.) while sub-threshold candidate
+    mass (which LSH banding lets through in bulk on self-similar corpora)
+    never touches the shingle sets. Exact verification intersects
+    xxhash64-HASHED shingle sets (8-byte longs, not strings; a false
+    intersection needs a 64-bit collision inside one pair's sets, ~1e-13).
 
     Output ⊆ ngram_jaccard_pairs; recall measured in tests. Returns
     (doc_lo, doc_hi, jac)."""
@@ -226,8 +229,21 @@ def minhash_lsh_dedup(
         )
         .where(est >= threshold - est_margin)
         .select("doc_lo", "doc_hi")
+        .localCheckpoint(eager=True)  # reused twice below; tiny
     )
-    sets = shingles(docs).groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+    # fetch shingle sets ONLY for docs that survived screening (semi-join
+    # pushdown: at scale the near-threshold docs are a sliver of the corpus)
+    cand_docs = (
+        screened.select(F.col("doc_lo").alias("doc_id"))
+        .unionAll(screened.select(F.col("doc_hi").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        shingles(docs.join(cand_docs, on="doc_id", how="left_semi"))
+        .select("doc_id", F.xxhash64("sh", F.lit(seed + 7)).alias("shh"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shh").alias("shs"))
+    )
     inter = F.size(F.array_intersect("sh_lo", "sh_hi"))
     return (
         screened.join(

@@ -1,0 +1,27 @@
+"""Sketch-failure census (reference cont_expr shape): measured sampling
+failure rate must be small and convergence must fit WELL within the
+SketchParams.for_graph round budget — the census is what justifies the
+extra_rounds slack."""
+
+from __future__ import annotations
+
+from landscape_spark.sketch.census import census_one, graph_shapes, run_census
+
+
+def test_census_failure_rate_and_budget():
+    results = run_census(n=256, n_seeds=5)
+    for r in results:
+        assert r.attempts > 0
+        # per-(component, round) sampling failure stays in the few-percent
+        # regime the cols=4 design targets
+        assert r.failure_rate < 0.05, r.as_dict()
+        # convergence uses at most half the budget: extra_rounds=6 slack is
+        # justified with >= 2x headroom at this scale
+        assert r.max_rounds_used <= r.budget_rounds // 2 + 1, r.as_dict()
+
+
+def test_census_counts_only_live_components():
+    """A single-edge graph converges in one round with zero failures almost
+    surely; final components must not be counted as attempts."""
+    a, f, rounds, budget = census_one(8, [(0, 1)], seed=7)
+    assert a >= 1 and rounds <= 2 and f <= a

@@ -51,3 +51,58 @@ def test_er_stream_sketch_cc_equals_net_cc(spark):
         for r in components_with_isolated(spark, vmap, verts).collect()
     }
     assert got == oracle
+
+
+def test_er_hash_stream_matches_predicate_oracle(spark):
+    """O(1)-state hash streamer (reference HashStreamer round semantics):
+    net-presence of the churn stream == the correction predicate's G(n,p),
+    for both enumeration orders."""
+    n, p = 48, 0.1
+    oracle = {
+        (r.a, r.b) for r in linkgraph.er_hash_net_edges(spark, n, p, seed=5).collect()
+    }
+    for seq in (False, True):
+        stream = linkgraph.er_hash_stream(
+            spark, n, p, rounds=4, seed=5, sequential=seq
+        ).cache()
+        rows = stream.collect()
+        assert all(0 <= r.a < r.b < n for r in rows)
+        net = {(r.a, r.b) for r in linkgraph.net_edges(stream).collect()}
+        assert net == oracle, f"sequential={seq}"
+
+
+def test_er_hash_stream_well_formed(spark):
+    """Insert/delete types alternate per pair starting with INSERT (no
+    double-insert / double-delete — the reference's verify_stream invariant,
+    /root/reference/tools/streaming/verify_stream.cpp:7-29)."""
+    n, p = 32, 0.2
+    stream = linkgraph.er_hash_stream(spark, n, p, rounds=5, seed=9)
+    rows = stream.orderBy("upd_idx").collect()
+    state: dict[tuple, bool] = {}
+    for r in rows:
+        e = (r.a, r.b)
+        assert state.get(e, False) != r.is_insert, f"ill-formed at {e}"
+        state[e] = r.is_insert
+
+
+def test_er_hash_stream_large_lazy(spark):
+    """erdos-style scale probe: >= 1e8 enumeration slots stream through
+    without materializing the pair set (pure column exprs over spark.range)."""
+    n = 1 << 12  # ~8.4M pairs; 13 rounds -> 1.09e8 slots
+    stream = linkgraph.er_hash_stream(spark, n, 0.001, rounds=13, seed=1)
+    cnt = stream.count()
+    assert cnt > 10_000_000  # emitted updates (subset of slots)
+
+
+def test_verify_stream_operator(spark):
+    """The distributed well-formedness verifier: clean hash streams pass,
+    a corrupted stream is caught."""
+    n, p = 32, 0.15
+    stream = linkgraph.er_hash_stream(spark, n, p, rounds=4, seed=3).cache()
+    assert linkgraph.verify_stream(stream).count() == 0
+    # corrupt: duplicate the first update (double-insert)
+    first = stream.orderBy("upd_idx").limit(1).select(
+        (F.col("upd_idx") + 1_000_000).alias("upd_idx"), "a", "b", "round", "is_insert"
+    )
+    bad = stream.unionAll(first)
+    assert linkgraph.verify_stream(bad).count() > 0

@@ -89,3 +89,57 @@ def test_real_structured_stream_file_source(spark, tmp_path):
         for r in components_with_isolated(spark, ing.query_components(n), v).collect()
     }
     assert got == _cc_oracle(edges, n)
+
+
+def test_breakpointed_burst_queries_with_incremental_oracle(spark, tmp_path):
+    """Registered-breakpoint replay with point-query bursts (reference
+    cluster_query_expr.cpp:197-332): at each of 4 breakpoints the burst
+    answers must match the incremental net-graph oracle, and the latency
+    record carries the flush-vs-algorithm split (:286-294)."""
+    from landscape_spark.streaming.ingest import replay_with_breakpoints
+
+    n = 48
+    rng = __import__("random").Random(17)
+    upds = []
+    for i in range(400):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            upds.append((len(upds), min(a, b), max(a, b)))
+    updates = spark.createDataFrame(upds, "upd_idx long, a long, b long")
+    pairs = [(i % n, (i * 7 + 3) % n) for i in range(20)]
+    pairs_df = spark.createDataFrame(pairs, "a long, b long")
+    params = SketchParams.for_graph(n, seed=13)
+    ing = SketchStreamIngestor(spark, params, str(tmp_path / "bp"), num_partitions=2)
+    bps = [100, 200, 300, len(upds)]
+    recs = replay_with_breakpoints(spark, updates, bps, ing, burst_pairs=pairs_df)
+    assert [r["breakpoint"] for r in recs] == bps
+    for r in recs:
+        assert "flush_sec" in r and "alg_sec" in r
+    # oracle: net presence of the prefix (odd multiplicity) at each breakpoint
+    from collections import Counter
+
+    for r, q in zip(recs, bps):
+        cnt = Counter((a, b) for _, a, b in upds[:q])
+        net = [e for e, c in cnt.items() if c % 2 == 1]
+        oracle = _cc_oracle(net, n)
+        expected = sum(1 for a, b in pairs if oracle[a] == oracle[b])
+        assert r["burst_connected"] == expected, f"breakpoint {q}"
+
+
+def test_cc_cache_hit_and_invalidate(spark, tmp_path):
+    """GreedyCC: repeated queries between updates reuse the cached labels;
+    an absorbed batch invalidates (reference dsu_valid,
+    graph_distrib_update.cpp:107-120)."""
+    n = 16
+    params = SketchParams.for_graph(n, seed=5)
+    ing = SketchStreamIngestor(spark, params, str(tmp_path / "cche"), num_partitions=2)
+    ing.absorb_batch(spark.createDataFrame([(1, 2), (3, 4)], "a long, b long"), 0)
+    ing.query_components(n)
+    assert (ing.cc_cache_hits, ing.cc_cache_misses) == (0, 1)
+    ing.query_components(n)
+    ing.burst_point_queries(spark.createDataFrame([(1, 2)], "a long, b long")).collect()
+    assert ing.cc_cache_hits == 2 and ing.cc_cache_misses == 1
+    ing.absorb_batch(spark.createDataFrame([(5, 6)], "a long, b long"), 1)  # invalidate
+    got = {r.v: r.comp for r in ing.query_components(n).collect()}
+    assert ing.cc_cache_misses == 2
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
