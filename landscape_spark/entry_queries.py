@@ -202,6 +202,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (rows-only: k-means cells are not
+    SQL-expressible; recall vs brute force tested in tests/test_ann.py)."""
+    from landscape_spark.sim import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    return ann.ivf_topk(emb, qvec, k=10, n_cells=16, nprobe=6)
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "quality_score": q_quality,
@@ -213,6 +223,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
     "ann_cosine_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,  # rows-only: approximate by design
+    "ann_ivf_topk": q_ann_ivf,  # rows-only: approximate by design
     "knn_label": q_knn_label,
 }
 
@@ -470,6 +481,22 @@ def q_pages_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("src", "dst")
 
 
+def q_k_spanning_forests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=2 edge-disjoint spanning forests of the derived link graph (the
+    reference's k-edge-connectivity certificate, Q2,
+    /root/reference/src/graph_distrib_update.cpp:156-209). Rows-only in the
+    gate (sketch-randomized edge selection is not SQL-expressible); forest
+    properties — spanning, edge-disjoint, acyclic, certificate — are
+    asserted in tests/test_kforests.py. Output: per-forest edge COUNTS
+    (deterministic given the seed), not the sampled edges themselves."""
+    from landscape_spark.sketch.boruvka import k_spanning_forests
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    forests = k_spanning_forests(spark, und, n, k=2, seed=42)
+    return forests.groupBy("forest_id").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: synthesize the media table (real BMP payloads),
     decode with the pure-numpy BMP codec, extract intensity/edge features.
@@ -511,6 +538,7 @@ EXTRA_QUERIES.update(
         "pages_extract_edges": q_pages_extract_edges,  # rows-only: HTML extraction
         "media_image_features": q_media_image_features,  # rows-only: binary codec
         "media_audio_features": q_media_audio_features,  # rows-only: binary codec
+        "k_spanning_forests": q_k_spanning_forests,  # rows-only: sketch-randomized
     }
 )
 

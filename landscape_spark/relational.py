@@ -88,11 +88,67 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, month) revenue subtotals + grand total. NULL grouping
+    slots are coalesced to -1 so value hashing is engine-neutral."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        j.rollup("y", "m")
+        .agg(F.round(F.sum("rev"), 4).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("y", F.lit(-1)).cast("int").alias("y"),
+            F.coalesce("m", F.lit(-1)).cast("int").alias("m"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+def q_events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over value-conditioned cohorts: (heavy purchasers
+    INTERSECT frequent errorers) EXCEPT high-value viewers. The driver's
+    synthetic events give every user every event type, so the cohorts are
+    aggregate-conditioned to make the set algebra non-trivial (19 rows at
+    sf0.01)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def cohort(etype: str, having):
+        g = ev.where(F.col("event_type") == etype).groupBy("user_id")
+        return having(g).select("user_id")
+
+    buyers = cohort("purchase", lambda g: g.agg(F.sum("value").alias("s")).where(F.col("s") > 50))
+    errorers = cohort("error", lambda g: g.agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 12))
+    viewers = cohort("view", lambda g: g.agg(F.max("value").alias("m")).where(F.col("m") > 98))
+    return buyers.intersect(errorers).exceptAll(viewers.distinct()).select("user_id")
+
+
+def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions + aggregation: per market segment, customer count,
+    rounded average balance, count of negative balances, max of the
+    upper-cased 8-char name prefix."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_negative"),
+        F.max(F.upper(F.substring("c_name", 1, 8))).alias("max_prefix"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_users": q_events_top_users,
     "events_sessionize": q_events_sessionize,
     "revenue_by_month": q_revenue_by_month,
     "top_parts": q_top_parts,
+    "revenue_rollup": q_revenue_rollup,
+    "events_type_overlap": q_events_type_overlap,
+    "customer_segments": q_customer_segments,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -144,5 +200,36 @@ SELECT p_partkey, revenue FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, p_partkey ASC) AS rn
   FROM per
 ) WHERE rn <= 10
+""",
+    "revenue_rollup": """
+WITH j AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS y,
+         EXTRACT(month FROM o.o_orderdate) AS m,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(COALESCE(y, -1) AS INT) AS y,
+       CAST(COALESCE(m, -1) AS INT) AS m,
+       ROUND(SUM(rev), 4) AS revenue,
+       COUNT(*) AS n
+FROM j GROUP BY ROLLUP (y, m)
+""",
+    "events_type_overlap": """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING SUM(value) > 50
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING COUNT(*) >= 12
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'view'
+  GROUP BY user_id HAVING MAX(value) > 98
+""",
+    "customer_segments": """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(AVG(c_acctbal), 4) AS avg_bal,
+       SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+       MAX(UPPER(SUBSTRING(c_name, 1, 8))) AS max_prefix
+FROM customer GROUP BY c_mktsegment
 """,
 }

@@ -109,6 +109,110 @@ def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     return u.reshape(n_planes, dim)
 
 
+def ivf_train_centroids(
+    emb: DataFrame, n_cells: int = 16, iters: int = 5, dim: int = 64, seed: int = 42
+) -> np.ndarray:
+    """Deterministic distributed Lloyd k-means on the unit sphere (the IVF
+    coarse quantizer). Init = seeded pseudo-random unit vectors; per
+    iteration one mapInArrow pass emits ONE packed partial-state row per
+    partition (per-cell vector sums + counts as a binary blob); the driver
+    reduces C x dim doubles — tiny and scale-independent. Everything is
+    seeded, so every executor and every run agrees."""
+    cents = _planes(n_cells, dim, seed + 77)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    for _ in range(iters):
+        b = sc.broadcast(cents)
+
+        def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            c = b.value
+            sums = np.zeros_like(c)
+            cnts = np.zeros(c.shape[0], dtype=np.float64)
+            seen = False
+            for bt in batches:
+                if bt.num_rows == 0:
+                    continue
+                seen = True
+                mat = np.array(bt.column("embedding").to_pylist(), dtype=np.float64)
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                cell = np.argmax(mat @ c.T, axis=1)
+                np.add.at(sums, cell, mat)
+                cnts += np.bincount(cell, minlength=c.shape[0])
+            if seen:
+                blob = np.concatenate([sums.reshape(-1), cnts]).tobytes()
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([blob], type=pa.binary())], names=["state"]
+                )
+
+        states = emb.select("embedding").mapInArrow(partial, "state binary").collect()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(n_cells, dtype=np.float64)
+        for row in states:
+            arr = np.frombuffer(row.state, dtype=np.float64)
+            sums += arr[: n_cells * dim].reshape(n_cells, dim)
+            cnts += arr[n_cells * dim :]
+        nz = cnts > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / cnts[nz, None]
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        b.destroy()
+    return cents
+
+
+def ivf_assign(emb: DataFrame, cents: np.ndarray) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment — one broadcast scan."""
+    sc = emb.sparkSession.sparkContext
+    b = sc.broadcast(cents)
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        c = b.value
+        for bt in batches:
+            if bt.num_rows == 0:
+                continue
+            ids = bt.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = np.array(bt.column("embedding").to_pylist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(cell, type=pa.int64())],
+                names=["vec_id", "cell"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(assign, "vec_id long, cell long")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+    cents: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the second 100TB ANN path beside lsh_topk):
+    scan only the nprobe cells whose centroids are closest to the query —
+    the scanned fraction is ~nprobe/n_cells of the corpus. Pass cents /
+    assigned to reuse a trained index across queries (the realistic usage);
+    otherwise they are built here."""
+    if cents is None:
+        cents = ivf_train_centroids(emb, n_cells=n_cells, iters=iters, dim=dim, seed=seed)
+    if assigned is None:
+        assigned = ivf_assign(emb, cents)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ qn), kind="stable")[:nprobe].tolist()
+    cand = assigned.where(F.col("cell").isin([int(x) for x in probe])).select("vec_id")
+    sim = F.round(cosine_col("embedding", query), 6).alias("sim")
+    scored = emb.join(cand, on="vec_id", how="left_semi").select("vec_id", sim)
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k).select(
+        "vec_id", "sim"
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query: list[float],

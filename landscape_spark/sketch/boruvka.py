@@ -31,10 +31,6 @@ import pandas as _pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _np_arr(xs: list[int]) -> np.ndarray:
-    return np.asarray(xs, dtype=np.int64)
-
 from landscape_spark.sketch.build import (
     build_group_slices,
     build_sketch_table,
@@ -46,6 +42,11 @@ from landscape_spark.sketch.build import (
     xor_merge_by_key,
 )
 from landscape_spark.sketch.l0 import SketchParams, build_sketches, edge_code, to_bytes
+
+
+def _np_arr(xs: list[int]) -> np.ndarray:
+    return np.asarray(xs, dtype=np.int64)
+
 
 # Above this many per-round samples the driver DSU is replaced by distributed
 # star contraction over the sampled component graph (the reference collects
@@ -61,12 +62,15 @@ class DSU:
         self.parent: dict[int, int] = {}
 
     def find(self, x: int) -> int:
-        p = self.parent.get(x, x)
-        if p == x:
-            return x
-        r = self.find(p)
-        self.parent[x] = r
-        return r
+        # iterative with full path compression: recursion would blow the
+        # interpreter stack on adversarial union chains near the
+        # COLLECT_THRESHOLD-sized sample sets
+        root = x
+        while self.parent.get(root, root) != root:
+            root = self.parent[root]
+        while self.parent.get(x, x) != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
 
     def union(self, a: int, b: int) -> bool:
         ra, rb = self.find(a), self.find(b)

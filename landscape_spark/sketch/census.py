@@ -180,8 +180,49 @@ def run_census(n: int = 1024, n_seeds: int = 10) -> list[CensusResult]:
     return out
 
 
+def ablation_sweep(
+    n: int = 1024, n_seeds: int = 8, cols_options: tuple = (2, 3, 4)
+) -> list[dict]:
+    """Sketch-geometry ablation (the reference's CubeSketch/CameoSketch +
+    batch_factor knobs, CMakeLists.txt:57-64): for each column count,
+    measure failure rate and worst-case rounds-to-converge across shapes and
+    seeds. Per-update kernel work is rounds*cols bucket XORs, so the sweep
+    quantifies the accuracy/ingest-cost trade the default params buy."""
+    import numpy as _np
+
+    out = []
+    lg = max(1, int(_np.ceil(_np.log2(max(n, 2)))))
+    for cols in cols_options:
+        params_budget = lg + 8  # generous budget so the sweep can OBSERVE need
+        attempts = failures = 0
+        max_rounds = 0
+        for shape, edges in graph_shapes(n).items():
+            for s in range(n_seeds):
+                p = SketchParams(
+                    n=n, rounds=params_budget, cols=cols, depths=lg + 4, seed=3000 + s
+                )
+                a, f, r, _ = census_one(n, edges, seed=3000 + s, params=p)
+                attempts += a
+                failures += f
+                max_rounds = max(max_rounds, r)
+        out.append(
+            {
+                "cols": cols,
+                "n": n,
+                "attempts": attempts,
+                "failures": failures,
+                "failure_rate": round(failures / attempts, 6) if attempts else 0.0,
+                "max_rounds_used": max_rounds,
+                "kernel_xors_per_update": (lg + 6) * cols,
+            }
+        )
+    return out
+
+
 if __name__ == "__main__":
     import json
 
     for r in run_census():
         print(json.dumps(r.as_dict()))
+    for row in ablation_sweep():
+        print(json.dumps(row))

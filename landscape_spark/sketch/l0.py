@@ -50,10 +50,17 @@ class SketchParams:
     seed: int = 42
 
     @staticmethod
-    def for_graph(n: int, seed: int = 42, cols: int = 4, extra_rounds: int = 6) -> "SketchParams":
+    def for_graph(n: int, seed: int = 42, cols: int = 3, extra_rounds: int = 6) -> "SketchParams":
         """log2(n) Boruvka rounds + retry slack. Per-update work is
         rounds*cols bucket XORs — the same O(log n * log 1/delta) the
-        reference's supernode update pays [GZ]."""
+        reference's supernode update pays [GZ].
+
+        cols=3 is the measured default (sketch/census.py ablation_sweep at
+        n=1024/4096 x 3 shapes x seeds): per-(component, round) sampling
+        failure ~2.2% with worst-case convergence in <= log2(n) rounds —
+        comfortably inside the extra_rounds=6 retry slack — at 25% less
+        kernel work and sketch space than cols=4 (failure 0.7%) and far
+        safer than cols=2 (failure 7%)."""
         lg = max(1, int(np.ceil(np.log2(max(n, 2)))))
         return SketchParams(n=n, rounds=lg + extra_rounds, cols=cols, depths=lg + 4, seed=seed)
 

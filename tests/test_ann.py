@@ -107,3 +107,47 @@ def test_knn_lsh_agreement_with_exact(spark):
     approx = {r.vec_id: r.pred_label for r in knn_lsh(emb2, k=5).collect()}
     agree = sum(exact[i] == approx[i] for i in exact) / len(exact)
     assert agree >= 0.9, f"LSH kNN agreement too low: {agree}"
+
+
+def test_ivf_topk_recall_planted(spark):
+    """IVF with a trained coarse quantizer on a clustered corpus: planted
+    near-dups must be recovered through the probed cells."""
+    rng = np.random.default_rng(11)
+    dim = 64
+    q = rng.normal(size=dim)
+    q /= np.linalg.norm(q)
+    rows = []
+    for i in range(10):
+        v = q + 0.03 * rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    for i in range(10, 510):
+        v = rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = [r.vec_id for r in ann.brute_force_topk(emb, q.tolist(), k=10).collect()]
+    got = [
+        r.vec_id
+        for r in ann.ivf_topk(emb, q.tolist(), k=10, n_cells=8, nprobe=2).collect()
+    ]
+    overlap = len(set(truth) & set(got)) / len(truth)
+    assert overlap >= 0.8, f"IVF recall too low: {overlap}"
+
+
+def test_ivf_training_deterministic_and_scan_fraction(spark):
+    rng = np.random.default_rng(12)
+    rows = [
+        (i, (lambda v: (v / np.linalg.norm(v)).astype(float).tolist())(rng.normal(size=64)))
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = ann.ivf_train_centroids(emb, n_cells=8, iters=3)
+    c2 = ann.ivf_train_centroids(emb, n_cells=8, iters=3)
+    assert np.allclose(c1, c2)
+    assigned = ann.ivf_assign(emb, c1)
+    sizes = {r.cell: r.cnt for r in assigned.groupBy("cell").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    assert sum(sizes.values()) == 300
+    # probing 2 of 8 cells scans a fraction, not the corpus
+    top2 = sorted(sizes.values(), reverse=True)[:2]
+    assert sum(top2) < 300
