@@ -59,10 +59,19 @@ def main() -> None:
     )
     m_updates = stream.count()  # materialize generator cost outside the timer
     params = SketchParams.for_graph(ingest_n, seed=42)
-    t0 = time.time()
-    slices = build_group_slices(stream, params, num_partitions=max(8, cpus)).persist()
-    n_sk = slices.count()
-    ingest_sec = time.time() - t0
+    # best-of-3 (min-time): first build pays Python-worker cold start and the
+    # host has bursty CPU steal; unpersist BEFORE rebuilding or Spark's
+    # plan-keyed cache turns later reps into cache hits
+    ingest_sec, slices, n_sk = float("inf"), None, 0
+    for rep in range(3):
+        if slices is not None:
+            slices.unpersist(blocking=True)
+        t0 = time.time()
+        slices = build_group_slices(
+            stream, params, num_partitions=max(8, cpus)
+        ).persist()
+        n_sk = slices.count()
+        ingest_sec = min(ingest_sec, time.time() - t0)
     rate = m_updates / ingest_sec
     queries["ingest_sketch_build"] = round(ingest_sec, 3)
     log(f"[ingest] {m_updates} updates -> {n_sk} supernodes in {ingest_sec:.2f}s = {rate/1e6:.3f}M upd/s")

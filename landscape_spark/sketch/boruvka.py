@@ -278,6 +278,11 @@ def _cc_rounds(
     import time as _time
 
     sp = slice_params(params)
+    # live-component counter: when it hits 1 the graph is fully connected and
+    # NO cut edge can exist — converged without paying a confirm pass.
+    # (Graphs with >1 final component still converge via the empty-sample
+    # break.) slices is cached/checkpointed, so the count is nearly free.
+    n_live = slices.count()
     g = start_group
     while g < params.rounds:
         _t0 = _time.time()
@@ -323,6 +328,7 @@ def _cc_rounds(
                 on_round(g, 0, False)
             break
         merged_any = False
+        n_merged = 0
         if n_samp <= collect_threshold:
             head = resolved.collect()
             dsu = DSU()
@@ -336,6 +342,7 @@ def _cc_rounds(
                 (c, dsu.find(c)) for c in sorted(touched) if dsu.find(c) != c
             ]
             merged_any = bool(remap)
+            n_merged = len(remap)
             # Arrow path (pandas) — py4j row-by-row conversion of a ~n-sized
             # remap would dominate the pass
             remap_pdf = _pd.DataFrame(
@@ -349,8 +356,9 @@ def _cc_rounds(
             remap_df = _star_contraction(
                 resolved.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
                 num_partitions,
-            )
+            ).localCheckpoint(eager=True)
             merged_any = True  # every surviving pair crosses components
+            n_merged = remap_df.count()
         if merged_any:
             vmap = (
                 vmap.join(remap_df, vmap.comp == remap_df.old_comp, "left")
@@ -360,6 +368,9 @@ def _cc_rounds(
         if on_round is not None:
             on_round(g, n_samp, merged_any)
         g += j
+        # after a resume n_live starts from the vertex count (an
+        # overestimate), which only delays this shortcut — never wrong
+        n_live -= n_merged
         if ckpt is not None:
             dfs = {"vmap": vmap}
             if ckpt.latest_round() is None:
@@ -383,6 +394,8 @@ def _cc_rounds(
             )
             if slices_path is None:
                 slices_path = f"{ckpt.round_dir(gs[0])}/slices.parquet"
+        if n_live <= 1:
+            break
     return vmap
 
 
