@@ -208,8 +208,9 @@ def er_hash_stream(
     which builds the full pair table and cannot reach erdos20-class streams).
 
     Enumeration: prime p >= n(n-1)/2; per round visit pair ids e = (i*k) % p
-    for i in 1..p-1 (a permutation of 1..p-1; sequential=True visits i-1
-    instead), skipping e >= n_pairs. Round 0 inserts pairs with bit0(h1)=1;
+    for i in 0..p-1 (a permutation of 0..p-1 — i=0 maps to pair 0, so edge
+    (0,1) is enumerated like every other residue; sequential=True visits i
+    directly), skipping e >= n_pairs. Round 0 inserts pairs with bit0(h1)=1;
     round r toggles pairs whose h1 bits r-1, r differ; the final round
     corrects each pair to its target G(n, p) presence: h2-based predicate
     pmod(xxhash64(e, seed+1), 2^31) < p_edge * 2^31 — so the NET graph
@@ -217,18 +218,28 @@ def er_hash_stream(
 
     Returns (upd_idx, a, b, round, is_insert); upd_idx has gaps (enumeration
     slots with no update are skipped, as in the reference's next() loop).
+
+    Supported range: n <= 2^24. Beyond that, i*STRIDE_K overflows int64 once
+    prime ~ n^2/2 exceeds ~1.9e14, and the triangular decode's double sqrt
+    loses exactness past 2^53 — both corrupt the enumeration silently, so the
+    bound is asserted. Larger n needs 128-bit modmul + integer isqrt.
     """
     n = n_vertices
+    assert n <= (1 << 24), (
+        f"er_hash_stream supports n <= 2^24 (got {n}): the prime-stride "
+        "product and the triangular sqrt decode exceed exact int64/double "
+        "range beyond it"
+    )
     n_pairs = n * (n - 1) // 2
     prime = _next_prime(max(n_pairs, 3))
     assert rounds >= 2
     cutoff = int(p_edge * MOD)
-    per_round = prime - 1
+    per_round = prime
     total = rounds * per_round
     idx = F.col("id")
-    i = idx % per_round + 1
+    i = idx % per_round
     r = (idx / per_round).cast("long")
-    e = ((i * STRIDE_K) % prime) if not sequential else (i - 1)
+    e = ((i * STRIDE_K) % prime) if not sequential else i
     base = spark.range(total).select(
         idx.alias("upd_idx"), r.alias("round"), e.alias("e")
     ).where(F.col("e") < n_pairs)

@@ -70,8 +70,11 @@ def comm_factor(
 
 class HeartbeatReporter:
     """Daemon thread writing {ts, active_stages, totals...} JSON lines to
-    ``path`` every ``interval`` seconds (atomic tmp+rename per flush, like
-    the reference's status file, work_distributor.cpp:83-88)."""
+    ``path`` every ``interval`` seconds. The reference's status file is an
+    atomic whole-file rename (work_distributor.cpp:83-88) because readers
+    want the LATEST snapshot; our consumers tail the history, so each sample
+    is APPENDED (O(1) memory and I/O per tick — a rewrite-everything loop is
+    O(n^2) cumulative on long runs). A fresh start truncates the file."""
 
     def __init__(
         self, spark: SparkSession, path: str, interval: float = 0.2
@@ -80,7 +83,7 @@ class HeartbeatReporter:
         self.path = path
         self.interval = interval
         self._stop = threading.Event()
-        self._lines: list[str] = []
+        self.samples = 0
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _sample(self) -> dict:
@@ -95,22 +98,22 @@ class HeartbeatReporter:
             rec.update(tot)
         return rec
 
-    def _flush(self) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("\n".join(self._lines) + ("\n" if self._lines else ""))
-        os.replace(tmp, self.path)
+    def _append(self, line: str) -> None:
+        with open(self.path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+        self.samples += 1
 
     def _run(self) -> None:
         while not self._stop.is_set():
             try:
-                self._lines.append(json.dumps(self._sample()))
-                self._flush()
+                self._append(json.dumps(self._sample()))
             except Exception:
                 pass
             self._stop.wait(self.interval)
 
     def start(self) -> "HeartbeatReporter":
+        open(self.path, "w").close()  # truncate: the file records THIS run
         self._thread.start()
         return self
 
@@ -118,7 +121,6 @@ class HeartbeatReporter:
         self._stop.set()
         self._thread.join(timeout=5)
         try:
-            self._lines.append(json.dumps(self._sample()))
-            self._flush()
+            self._append(json.dumps(self._sample()))
         except Exception:
             pass

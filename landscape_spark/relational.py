@@ -228,7 +228,7 @@ SELECT user_id FROM events WHERE event_type = 'view'
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
        ROUND(AVG(c_acctbal), 4) AS avg_bal,
-       SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
        MAX(UPPER(SUBSTRING(c_name, 1, 8))) AS max_prefix
 FROM customer GROUP BY c_mktsegment
 """,

@@ -49,11 +49,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # tmpfs shuffle dir when available: local-mode shuffle files on disk cost
-    # ~10% end-to-end; real clusters provision fast local disks for this
-    if os.path.isdir("/dev/shm"):
-        shm = "/dev/shm/spark-local"
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
+    # ~10% end-to-end; real clusters provision fast local disks for this.
+    # tmpfs is typically capped at half RAM, so gate behind a free-space check
+    # (>= 16 GiB) — large spills fall back to the default disk local dir,
+    # which succeeds where a full tmpfs would fail the job. Opt out entirely
+    # with SPARK_GRAFT_NO_SHM=1.
+    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_GRAFT_NO_SHM"):
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 * (1 << 30):
+            shm = "/dev/shm/spark-local"
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

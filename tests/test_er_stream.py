@@ -71,6 +71,36 @@ def test_er_hash_stream_matches_predicate_oracle(spark):
         assert net == oracle, f"sequential={seq}"
 
 
+def test_er_hash_stream_enumerates_pair_zero(spark):
+    """Regression: the prime-stride enumeration must cover residue 0 — pair
+    id 0 is edge (0,1), and skipping it made the stream's net graph diverge
+    from er_hash_net_edges whenever the h2 predicate fired for that pair.
+    Pick (n, seed) where the oracle contains (0,1) and assert the stream
+    touches it in BOTH enumeration orders."""
+    n = 24
+    seed = next(
+        s
+        for s in range(100)
+        if any(
+            (r.a, r.b) == (0, 1)
+            for r in linkgraph.er_hash_net_edges(spark, n, 0.3, seed=s).collect()
+        )
+    )
+    oracle = {
+        (r.a, r.b)
+        for r in linkgraph.er_hash_net_edges(spark, n, 0.3, seed=seed).collect()
+    }
+    assert (0, 1) in oracle
+    for seq in (False, True):
+        stream = linkgraph.er_hash_stream(
+            spark, n, 0.3, rounds=3, seed=seed, sequential=seq
+        ).cache()
+        touched = {(r.a, r.b) for r in stream.collect()}
+        assert (0, 1) in touched, f"pair 0 never enumerated (sequential={seq})"
+        net = {(r.a, r.b) for r in linkgraph.net_edges(stream).collect()}
+        assert net == oracle, f"sequential={seq}"
+
+
 def test_er_hash_stream_well_formed(spark):
     """Insert/delete types alternate per pair starting with INSERT (no
     double-insert / double-delete — the reference's verify_stream invariant,
