@@ -41,7 +41,7 @@ from landscape_spark.sketch.build import (
     slice_params,
     xor_merge_by_key,
 )
-from landscape_spark.sketch.l0 import SketchParams, build_sketches, edge_code, to_bytes
+from landscape_spark.sketch.l0 import SketchParams
 
 
 def _np_arr(xs: list[int]) -> np.ndarray:
@@ -90,34 +90,28 @@ def _boruvka_pass(
     max_groups: int,
     num_partitions: int,
     on_round=None,
-    ckpt=None,
-    resume_state: dict | None = None,
-) -> tuple[DataFrame, list[tuple[int, int]], int]:
+    collect_threshold: int = COLLECT_THRESHOLD,
+) -> tuple[DataFrame, DataFrame, int]:
     """One full Boruvka emulation starting from per-VERTEX sketches.
 
-    Returns (final vid->comp map, forest edges accepted, groups consumed).
-    If ``ckpt`` (a RoundCheckpointer) is given, every round persists
-    (comp_sketch, vmap) parquet + DSU state + per-partition lineage; pass the
-    loaded state back via resume_connected_components to continue mid-query.
+    Returns (final vid->comp map, forest-edge DataFrame (a, b), groups
+    consumed). The reference collects every round's samples on rank 0
+    (src/graph_distrib_update.cpp:156-209); here the driver DSU runs only
+    under ``collect_threshold`` samples. Above it the round stays fully
+    distributed: each component keeps its MINIMUM-keyed incident sampled
+    edge (classic Boruvka min-edge rule — with distinct per-edge keys the
+    kept set is provably acyclic: the max-key edge of any would-be cycle is
+    picked by neither endpoint), labels merge via star contraction, and
+    forest edges accumulate as unioned DataFrames, never a Python list —
+    round 0 of a pass is O(n) samples, which must not transit the driver.
     """
-    import time as _time
-
-    dsu = DSU()
-    forest: list[tuple[int, int]] = []
+    forest_parts: list[DataFrame] = []
     groups_used = 0
-    if resume_state is not None:
-        comp_sketch = resume_state["comp_sketch"].localCheckpoint(eager=True)
-        vmap = resume_state["vmap"].localCheckpoint(eager=True)
-        dsu.parent = {int(k): int(v) for k, v in resume_state["dsu"].items()}
-        forest = [tuple(e) for e in resume_state["forest"]]
-        start_group = resume_state["next_group"]
-    else:
-        comp_sketch = vid_sketches.withColumnRenamed("vid", "comp").localCheckpoint(
-            eager=True
-        )
+    comp_sketch = vid_sketches.withColumnRenamed("vid", "comp").localCheckpoint(
+        eager=True
+    )
     for g in range(start_group, min(start_group + max_groups, params.rounds)):
         groups_used += 1
-        _t0 = _time.time()
         samples = sample_table(comp_sketch, "comp", g, params)
         u_map = vmap.select(F.col("v").alias("u"), F.col("comp").alias("comp_u"))
         v_map = vmap.select(F.col("v").alias("v2"), F.col("comp").alias("comp_v"))
@@ -125,31 +119,96 @@ def _boruvka_pass(
             samples.join(u_map, on="u")
             .join(v_map, samples.v == v_map.v2)
             .select("u", "v", "comp_u", "comp_v")
-            .collect()
+            .where(F.col("comp_u") != F.col("comp_v"))
+            .localCheckpoint(eager=True)
         )
+        n_samp = resolved.count()
+        if n_samp == 0:
+            if on_round is not None:
+                on_round(g, 0, False)
+            break  # no component produced a cut edge: converged (or dry)
         merged_any = False
-        touched: set[int] = set()
-        for row in resolved:
-            if dsu.union(row.comp_u, row.comp_v):
-                merged_any = True
-                touched.add(row.comp_u)
-                touched.add(row.comp_v)
-                forest.append((min(row.u, row.v), max(row.u, row.v)))
+        if n_samp <= collect_threshold:
+            dsu = DSU()
+            touched: set[int] = set()
+            accepted: list[tuple[int, int]] = []
+            # canonical-edge sort: the accepted forest is deterministic,
+            # independent of collect partition order
+            for row in sorted(
+                resolved.collect(), key=lambda r: (min(r.u, r.v), max(r.u, r.v))
+            ):
+                if dsu.union(row.comp_u, row.comp_v):
+                    touched.add(row.comp_u)
+                    touched.add(row.comp_v)
+                    accepted.append((min(row.u, row.v), max(row.u, row.v)))
+            merged_any = bool(accepted)
+            if merged_any:
+                forest_parts.append(
+                    spark.createDataFrame(
+                        _pd.DataFrame(
+                            {
+                                "a": _np_arr([e[0] for e in accepted]),
+                                "b": _np_arr([e[1] for e in accepted]),
+                            }
+                        )
+                    )
+                )
+                # remap includes absorbing roots mapping to themselves so
+                # their sketch rows enter the XOR-merge group
+                remap = [(c, dsu.find(c)) for c in sorted(touched)]
+                remap_df = F.broadcast(
+                    spark.createDataFrame(
+                        _pd.DataFrame(
+                            {
+                                "old_comp": _np_arr([r[0] for r in remap]),
+                                "new_comp": _np_arr([r[1] for r in remap]),
+                            }
+                        )
+                    )
+                )
+        else:
+            ek = resolved.select(
+                F.least("u", "v").alias("a"),
+                F.greatest("u", "v").alias("b"),
+                "comp_u",
+                "comp_v",
+            )
+            sym = ek.select(
+                F.col("comp_u").alias("c"), "a", "b", "comp_u", "comp_v"
+            ).unionAll(ek.select(F.col("comp_v").alias("c"), "a", "b", "comp_u", "comp_v"))
+            kept = (
+                sym.groupBy("c")
+                .agg(
+                    F.min_by(
+                        F.struct("a", "b", "comp_u", "comp_v"), F.struct("a", "b")
+                    ).alias("e")
+                )
+                .select("e.a", "e.b", "e.comp_u", "e.comp_v")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            merged_any = True  # every sampled component keeps an edge
+            forest_parts.append(kept.select("a", "b"))
+            changes = _star_contraction(
+                kept.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
+                num_partitions,
+            )
+            # star contraction omits roots (their label is the group min);
+            # add root self-maps so absorbing roots' sketch rows join the
+            # XOR-merge group — otherwise a merged component would keep TWO
+            # rows under one label
+            roots = changes.select(
+                F.col("new_comp").alias("old_comp"), F.col("new_comp").alias("new_comp")
+            ).distinct()
+            remap_df = changes.unionAll(roots).localCheckpoint(eager=True)
         if on_round is not None:
-            on_round(g, len(resolved), merged_any)
+            on_round(g, n_samp, merged_any)
         if not merged_any:
-            if not resolved:
-                break  # no component produced a cut edge: converged (or dry)
             continue
-        # remap ONLY this round's touched components (including absorbing
-        # roots mapping to themselves, so their rows enter the XOR-merge
-        # group); everything untouched passes through with ZERO shuffle —
-        # per-round merge traffic is O(components merged), which shrinks
-        # geometrically, not O(all supernodes).
-        remap = [(c, dsu.find(c)) for c in sorted(touched)]
-        remap_df = F.broadcast(
-            spark.createDataFrame(remap, "old_comp long, new_comp long")
-        )
+        # remap ONLY this round's touched components; everything untouched
+        # passes through with ZERO shuffle — per-round merge traffic is
+        # O(components merged), which shrinks geometrically, not O(all
+        # supernodes).
         joined = comp_sketch.join(
             remap_df, comp_sketch.comp == remap_df.old_comp, "left"
         )
@@ -165,24 +224,12 @@ def _boruvka_pass(
             .select("v", F.coalesce("new_comp", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        if ckpt is not None:
-            ckpt.save_round(
-                g,
-                {"comp_sketch": comp_sketch, "vmap": vmap},
-                {
-                    "dsu": {str(k): v for k, v in dsu.parent.items()},
-                    "forest": forest,
-                    "next_group": g + 1,
-                    "params": {
-                        "n": params.n,
-                        "rounds": params.rounds,
-                        "cols": params.cols,
-                        "depths": params.depths,
-                        "seed": params.seed,
-                    },
-                },
-                {"samples": len(resolved), "round_sec": round(_time.time() - _t0, 3)},
-            )
+    if forest_parts:
+        forest = forest_parts[0]
+        for p in forest_parts[1:]:
+            forest = forest.unionAll(p)
+    else:
+        forest = spark.createDataFrame([], "a long, b long")
     return vmap, forest, groups_used
 
 
@@ -272,10 +319,19 @@ def _cc_rounds(
     (groups 2..j of a pass sample at the pass-start granularity, so some of
     their samples land inside freshly-merged components and union as no-ops)
     for j-times fewer Spark jobs — each pass still contracts at least as much
-    as one classic Boruvka round, so <= log2(n) passes. Vertex sketches are
-    built ONCE and never rewritten; per-pass materialization is O(n slice
-    bytes + vmap), not O(live supernodes x full sketch) as in round 1."""
+    as one classic Boruvka round, so <= log2(n) passes. Because batching can
+    consume up to 2*log2(n)+2 groups against a log2(n)+6 budget, a RESERVE
+    schedule guards the tail: once the remaining group budget is within
+    ceil(log2(live))+1 (one guaranteed-halving group per remaining doubling),
+    passes drop to a single group — the worst-case consumption then always
+    fits the budget, and exhausting it anyway (l0-sampling failures beyond
+    the census-calibrated rate) raises a RuntimeWarning instead of silently
+    returning an under-merged map. Vertex sketches are built ONCE and never
+    rewritten; per-pass materialization is O(n slice bytes + vmap), not
+    O(live supernodes x full sketch) as in round 1."""
+    import math as _math
     import time as _time
+    import warnings as _warnings
 
     sp = slice_params(params)
     # live-component counter: when it hits 1 the graph is fully connected and
@@ -284,11 +340,17 @@ def _cc_rounds(
     # break.) slices is cached/checkpointed, so the count is nearly free.
     n_live = slices.count()
     g = start_group
+    converged = False
     while g < params.rounds:
         _t0 = _time.time()
         # after the first pass most components are merged — later passes are
         # mostly convergence checks, so sample fewer groups per pass
         j_pass = groups_per_pass if g == start_group else min(2, groups_per_pass)
+        # reserve schedule: one single-group pass guarantees >= halving, so
+        # ceil(log2(live)) remaining groups always suffice — stop batching
+        # when the budget is down to that bound (+1 slack)
+        if params.rounds - g <= _math.ceil(_math.log2(max(n_live, 2))) + 1:
+            j_pass = 1
         gs = list(range(g, min(g + j_pass, params.rounds)))
         j = len(gs)
         if g == 0:
@@ -326,6 +388,7 @@ def _cc_rounds(
         if n_samp == 0:
             if on_round is not None:
                 on_round(g, 0, False)
+            converged = True  # no live component holds a cut edge
             break
         merged_any = False
         n_merged = 0
@@ -395,7 +458,17 @@ def _cc_rounds(
             if slices_path is None:
                 slices_path = f"{ckpt.round_dir(gs[0])}/slices.parquet"
         if n_live <= 1:
+            converged = True
             break
+    if not converged and n_live > 1:
+        _warnings.warn(
+            f"sketch group budget exhausted after {params.rounds} groups with "
+            f"{n_live} components still live — the returned map may be "
+            "under-merged; raise SketchParams.rounds (extra_rounds) or check "
+            "the sampling-failure census calibration",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return vmap
 
 
@@ -503,7 +576,7 @@ def k_spanning_forests(
     vid_sketches = build_sketch_table(und_edges, params, num_partitions).localCheckpoint(
         eager=True
     )
-    out_rows: list[tuple[int, int, int]] = []
+    forests: list[DataFrame] = []
     group_cursor = 0
     for t in range(k):
         vmap, forest, used = _boruvka_pass(
@@ -516,28 +589,27 @@ def k_spanning_forests(
             num_partitions=num_partitions,
         )
         group_cursor += used
-        if not forest:
+        forest = forest.localCheckpoint(eager=True)
+        if forest.isEmpty():
             break
-        out_rows.extend((t, a, b) for a, b in forest)
+        forests.append(forest.select(F.lit(t).cast("int").alias("forest_id"), "a", "b"))
         if t == k - 1:
             break
         # delete forest edges: XOR their codes back into BOTH endpoint
-        # supernodes (self-inverse), via a small delta sketch table.
-        fa = np.array([a for a, _ in forest], dtype=np.int64)
-        fb = np.array([b for _, b in forest], dtype=np.int64)
-        codes = edge_code(fa, fb, params.n)
-        vids = np.concatenate([fa, fb])
-        cc = np.concatenate([codes, codes])
-        dvids, dsk = build_sketches(vids, cc, params)
-        delta_df = spark.createDataFrame(
-            list(zip([int(x) for x in dvids], to_bytes(dsk))), "vid long, sketch binary"
-        )
+        # supernodes (self-inverse). Re-INSERTING an edge IS its deletion in
+        # a linear sketch, so the delta table is just another distributed
+        # sketch build over the forest edges — O(forest) stays on executors
+        # (the reference XORs them on rank 0, graph_distrib_update.cpp:180-183).
+        delta = build_sketch_table(forest, params, num_partitions)
         vid_sketches = xor_merge_by_key(
-            vid_sketches.unionAll(delta_df), "vid", num_partitions
+            vid_sketches.unionAll(delta), "vid", num_partitions
         ).localCheckpoint(eager=True)
-    if not out_rows:
+    if not forests:
         return spark.createDataFrame([], "forest_id int, a long, b long")
-    return spark.createDataFrame(out_rows, "forest_id int, a long, b long")
+    out = forests[0]
+    for f in forests[1:]:
+        out = out.unionAll(f)
+    return out
 
 
 def components_with_isolated(

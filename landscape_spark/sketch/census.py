@@ -72,10 +72,23 @@ def _true_components(n: int, edges: list[tuple[int, int]]) -> list[int]:
 
 
 def census_one(
-    n: int, edges: list[tuple[int, int]], seed: int, params: SketchParams | None = None
+    n: int,
+    edges: list[tuple[int, int]],
+    seed: int,
+    params: SketchParams | None = None,
+    batched: bool = False,
 ) -> tuple[int, int, int, int]:
     """Run one seeded Boruvka emulation; return (attempts, failures,
-    rounds_used, budget)."""
+    rounds_used, budget).
+
+    batched=True emulates the PRODUCTION pass schedule of
+    boruvka._cc_rounds — 4 groups on the first pass, 2 thereafter, reserve
+    to 1 group per pass once the remaining budget is within
+    ceil(log2(live))+1 — with every group of a pass sampling the PASS-START
+    component state and unions applied in group order. This measures
+    worst-case group CONSUMPTION under the real schedule (which can exceed
+    the classic one-group-per-round emulation), validating that the
+    log2(n)+extra_rounds budget still converges."""
     params = params or SketchParams.for_graph(n, seed=seed)
     ea = np.array([a for a, _ in edges], dtype=np.int64)
     eb = np.array([b for _, b in edges], dtype=np.int64)
@@ -102,32 +115,47 @@ def census_one(
 
     attempts = failures = 0
     rounds_used = 0
-    for g in range(params.rounds):
+    g = 0
+    first = True
+    while g < params.rounds:
         if len(comp_rows) == n_true:
             break  # every sketch component equals a true component
+        if batched:
+            j = 4 if first else 2
+            if params.rounds - g <= int(np.ceil(np.log2(max(len(comp_rows), 2)))) + 1:
+                j = 1
+        else:
+            j = 1
+        first = False
+        gs = list(range(g, min(g + j, params.rounds)))
         live = sorted(comp_rows)
         mat = np.stack([comp_rows[c] for c in live])
-        ok, us, vs = sample_group(mat, g, params)
-        rounds_used = g + 1
+        samples = [sample_group(mat, gg, params) for gg in gs]
+        rounds_used = gs[-1] + 1
+        # failure accounting on the pass's FIRST group (the guaranteed-
+        # progress group; later groups sample stale pass-start state)
+        ok0 = samples[0][0]
         for i, c in enumerate(live):
             ms = members[c]
             final = len(ms) == truth_size[truth[ms[0]]]
             if final:
                 continue  # no cut edges: a failed sample here is CORRECT
             attempts += 1
-            if not ok[i]:
+            if not ok0[i]:
                 failures += 1
-        for i in range(len(live)):
-            if not ok[i]:
-                continue
-            cu, cv = find(int(us[i])), find(int(vs[i]))
-            if cu == cv:
-                continue
-            lo, hi = min(cu, cv), max(cu, cv)
-            label[hi] = lo
-            comp_rows[lo] = comp_rows[lo] ^ comp_rows[hi]
-            members[lo].extend(members.pop(hi))
-            del comp_rows[hi]
+        for ok, us, vs in samples:
+            for i in range(len(live)):
+                if not ok[i]:
+                    continue
+                cu, cv = find(int(us[i])), find(int(vs[i]))
+                if cu == cv:
+                    continue
+                lo, hi = min(cu, cv), max(cu, cv)
+                label[hi] = lo
+                comp_rows[lo] = comp_rows[lo] ^ comp_rows[hi]
+                members[lo].extend(members.pop(hi))
+                del comp_rows[hi]
+        g += len(gs)
     assert len(comp_rows) == n_true, "census run failed to converge in budget"
     return attempts, failures, rounds_used, params.rounds
 

@@ -25,3 +25,14 @@ def test_census_counts_only_live_components():
     surely; final components must not be counted as attempts."""
     a, f, rounds, budget = census_one(8, [(0, 1)], seed=7)
     assert a >= 1 and rounds <= 2 and f <= a
+
+
+def test_census_batched_schedule_fits_budget():
+    """The production pass schedule (4 then 2 groups per pass, reserve to 1
+    near the budget edge) can consume more groups than classic one-per-round
+    Boruvka; the batched census asserts it still converges inside
+    SketchParams.for_graph's log2(n)+extra_rounds budget across shapes."""
+    for shape, edges in graph_shapes(256).items():
+        for s in range(3):
+            a, f, rounds, budget = census_one(256, edges, seed=500 + s, batched=True)
+            assert rounds <= budget, (shape, s, rounds, budget)

@@ -97,3 +97,50 @@ def test_point_queries(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 4)], "a long, b long")
     got = {(r.a, r.b): r.connected for r in batched_reachability(cc, pairs).collect()}
     assert got == {(0, 1): True, (1, 2): False, (2, 3): True, (0, 4): False}
+
+
+def test_boruvka_pass_distributed_path_matches_exact(spark):
+    """collect_threshold=0 forces the fully-distributed round machinery
+    (min-edge rule + star contraction, no driver DSU) on every round; the
+    resulting components must equal exact CC and the forest must be an
+    acyclic spanning forest of the graph."""
+    import random
+
+    from landscape_spark.sketch.boruvka import _boruvka_pass, _initial_vmap
+    from landscape_spark.sketch.build import build_sketch_table
+    from landscape_spark.sketch.l0 import SketchParams
+
+    rng = random.Random(13)
+    n = 96
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(260))
+            if a != b
+        }
+    )
+    e = spark.createDataFrame(edges, "a long, b long")
+    params = SketchParams.for_graph(n, seed=3)
+    sk = build_sketch_table(e, params, num_partitions=4).localCheckpoint(eager=True)
+    vmap, forest, _ = _boruvka_pass(
+        spark,
+        sk,
+        _initial_vmap(e),
+        params,
+        start_group=0,
+        max_groups=params.rounds,
+        num_partitions=4,
+        collect_threshold=0,
+    )
+    g = nx.Graph(edges)
+    oracle = {v: min(c) for c in nx.connected_components(g) for v in c}
+    got = {r.v: r.comp for r in vmap.collect()}
+    # component PARTITION must match (labels are min-ids in the oracle; the
+    # distributed path's star contraction also converges to min labels)
+    assert got == oracle
+    fe = [(r.a, r.b) for r in forest.collect()]
+    assert len(fe) == len(set(fe))
+    fg = nx.Graph(fe)
+    fg.add_nodes_from(g.nodes)
+    assert nx.is_forest(nx.Graph(fe))
+    assert nx.number_connected_components(fg) == nx.number_connected_components(g)
