@@ -39,10 +39,15 @@ def test_resume_mid_iteration_identical(spark, tmp_path):
     one_round = SketchParams(
         n=params.n, rounds=1, cols=params.cols, depths=params.depths, seed=params.seed
     )
-    _cc_rounds(
-        spark, slices, _initial_vmap(e), one_round,
-        start_group=0, num_partitions=4, ckpt=ckpt,
-    )
+    # the truncated budget leaves live components behind — the exhaustion
+    # guard must SAY so (this doubles as the warning's regression test)
+    import pytest
+
+    with pytest.warns(RuntimeWarning, match="budget exhausted"):
+        _cc_rounds(
+            spark, slices, _initial_vmap(e), one_round,
+            start_group=0, num_partitions=4, ckpt=ckpt,
+        )
     assert ckpt.latest_round() == 0
     # the checkpoint must record the FULL round budget so resume can continue
     # past round 0 — patch the recorded params the way a real run would have
