@@ -10,10 +10,16 @@ can reproduce them bit-for-bit up to float-summation order:
 
 Scale design: edges join ranks on src (sort-merge at scale; AQE handles hub
 skew via skew-join splitting), groupBy dst partial+final aggregation
-(map-side combine is automatic for F.sum), the per-vertex degree table is
-joined ONCE up front and the (src, dst, out_deg) relation is cached so each
-iteration is exactly one shuffle. Dangling mass is a scalar treeAggregate
-(2-row exchange), not a join. Lineage cut with localCheckpoint each iteration.
+(map-side combine is automatic for F.sum). The (src, dst, out_deg) relation
+is joined ONCE up front, repartitioned by src and cached, so its shuffle is
+paid once and the per-iteration join reuses the cached partitioning. The
+dangling-vertex SET is static across iterations, so it is computed once and
+carried as a boolean column of the rank table — the dangling mass is then a
+plain filtered aggregate of the checkpointed ranks (a 1-row broadcast), with
+NO per-iteration O(n) join or broadcast anywhere in the loop (at 10^9
+vertices a per-iteration vertex-set broadcast is a driver OOM). Each
+iteration is exactly one eager job (the localCheckpoint) containing one
+shuffle (the contrib groupBy).
 """
 
 from __future__ import annotations
@@ -36,12 +42,32 @@ def pagerank(
     edges: directed distinct (src, dst). vertices: (v), dense 0..N-1.
     """
     n = float(n_vertices)
+    spark = edges.sparkSession
+    num_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ew = edges.join(deg, on="src").select("src", "dst", "out_deg").cache()
-    ew.count()  # materialize once; every iteration reuses this
+    ew = (
+        edges.join(deg, on="src")
+        .select("src", "dst", "out_deg")
+        .repartition(num_part, "src")
+        .cache()
+    )
+    ew.count()  # materialize once; every iteration reuses this partitioning
 
-    ranks = vertices.select("v", F.lit(1.0 / n).alias("r")).localCheckpoint(eager=True)
-    has_out = deg.select(F.col("src").alias("v"), F.lit(True).alias("_has_out"))
+    # static dangling flag: outdeg(v) = 0. Computed ONCE, carried through the
+    # rank table so the per-iteration dangling mass is a filtered sum of
+    # ranks — never a join against a vertex-sized side.
+    vstate = (
+        vertices.join(
+            deg.select(F.col("src").alias("v"), F.lit(True).alias("_o")),
+            on="v",
+            how="left",
+        )
+        .select("v", F.col("_o").isNull().alias("is_dang"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = vstate.select("v", F.lit(1.0 / n).alias("r"), "is_dang").localCheckpoint(
+        eager=True
+    )
 
     for _ in range(iters):
         contrib = (
@@ -50,15 +76,15 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )
-        # dangling mass as a 1-row DF folded into the plan (no driver collect:
-        # the whole iteration is ONE job triggered by the checkpoint)
-        dangling_df = (
-            ranks.join(F.broadcast(has_out), on="v", how="left")
-            .where(F.col("_has_out").isNull())
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang"))
+        # dangling mass as a 1-row DF folded into the plan (no driver
+        # collect: the whole iteration is ONE job triggered by the
+        # checkpoint, and this side is a scan of the already-checkpointed
+        # ranks — no join, no O(n) exchange)
+        dangling_df = ranks.where("is_dang").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang")
         )
         new_ranks = (
-            vertices.join(contrib, on="v", how="left")
+            vstate.join(contrib, on="v", how="left")
             .crossJoin(F.broadcast(dangling_df))
             .select(
                 "v",
@@ -67,12 +93,15 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("_dang") / F.lit(n))
                 ).alias("r"),
+                "is_dang",
             )
         )
         new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
             delta = (
-                new_ranks.join(ranks.withColumnRenamed("r", "r_old"), on="v")
+                new_ranks.join(
+                    ranks.select("v", F.col("r").alias("r_old")), on="v"
+                )
                 .agg(F.max(F.abs(F.col("r") - F.col("r_old"))))
                 .first()[0]
             )
