@@ -199,7 +199,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
-    return ann.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6)
+    sigs = ann.lsh_signature_tables(emb, n_planes=8, n_tables=6)
+    return ann.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6, sigs=sigs)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

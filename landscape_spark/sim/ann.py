@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 from landscape_spark.hashing import splitmix64
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """(N, dim) float64 matrix from an Arrow list<float> column via the flat
+    values buffer (``flatten()`` is vectorized C++ honoring slice offsets) —
+    no per-row ``to_pylist``/``list(map(float, ...))`` conversion anywhere.
+    Embeddings are fixed-dim and non-null, so the reshape is exact."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(np.float64, copy=False)
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -83,9 +96,9 @@ def hyperplane_signatures(
     def sig(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-            mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
             if len(ids) == 0:
                 continue
+            mat = _emb_matrix(b.column("embedding"))
             proj = mat @ planes.T  # (N, P)
             bits = (proj > 0).astype(np.int64)
             bucket = (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
@@ -133,8 +146,8 @@ def ivf_train_centroids(
                 if bt.num_rows == 0:
                     continue
                 seen = True
-                mat = np.array(bt.column("embedding").to_pylist(), dtype=np.float64)
-                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                mat = _emb_matrix(bt.column("embedding"))
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
                 cell = np.argmax(mat @ c.T, axis=1)
                 np.add.at(sums, cell, mat)
                 cnts += np.bincount(cell, minlength=c.shape[0])
@@ -170,8 +183,8 @@ def ivf_assign(emb: DataFrame, cents: np.ndarray) -> DataFrame:
             if bt.num_rows == 0:
                 continue
             ids = bt.column("vec_id").to_numpy(zero_copy_only=False)
-            mat = np.array(bt.column("embedding").to_pylist(), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _emb_matrix(bt.column("embedding"))
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             cell = np.argmax(mat @ c.T, axis=1).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()), pa.array(cell, type=pa.int64())],
@@ -213,6 +226,24 @@ def ivf_topk(
     )
 
 
+def lsh_signature_tables(
+    emb: DataFrame,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[DataFrame]:
+    """Prebuild + cache the per-table LSH signature DataFrames so REPEATED
+    queries skip the n_tables corpus scans — the LSH analog of reusing IVF's
+    trained (cents, assigned) index across queries. Derivation is seeded, so
+    a prebuilt table is interchangeable with an inline one."""
+    out = []
+    for t in range(n_tables):
+        s = hyperplane_signatures(emb, n_planes, dim, seed + t * 1000).cache()
+        out.append(s)
+    return out
+
+
 def lsh_topk(
     emb: DataFrame,
     query: list[float],
@@ -221,17 +252,25 @@ def lsh_topk(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    sigs: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of candidates from n_tables independent LSH
     tables (query-bucket collisions), exact cosine rescoring, deterministic
-    ranking. At 100TB the candidate set is ~N/2^planes per table instead of N."""
+    ranking. At 100TB the candidate set is ~N/2^planes per table instead of N.
+    Pass ``sigs`` from lsh_signature_tables to amortize the signature scans
+    across a query workload."""
+    if sigs is None:
+        sigs = [
+            hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)
+            for t in range(n_tables)
+        ]
+    assert len(sigs) == n_tables
     cands = None
     for t in range(n_tables):
-        sigs = hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)
         planes = _planes(n_planes, dim, seed + t * 1000)
         qproj = planes @ np.array(query, dtype=np.float64)
         qbucket = int(((qproj > 0).astype(np.int64) * (1 << np.arange(n_planes))).sum())
-        c = sigs.where(F.col("bucket") == qbucket).select("vec_id")
+        c = sigs[t].where(F.col("bucket") == qbucket).select("vec_id")
         cands = c if cands is None else cands.unionAll(c)
     cands = cands.distinct()
     sim = F.round(cosine_col("embedding", query), 6).alias("sim")

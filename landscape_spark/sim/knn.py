@@ -18,11 +18,11 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from landscape_spark.sim.ann import _dot, hyperplane_signatures
+from landscape_spark.sim.ann import _dot, _emb_matrix, hyperplane_signatures
 
 BROADCAST_THRESHOLD = 200_000  # ~50MB of float32 at dim 64
 
@@ -46,25 +46,27 @@ def _majority(labels: np.ndarray) -> int:
 
 
 def knn_exact_broadcast(emb: DataFrame, k: int = 5) -> DataFrame:
-    """Exact kNN via broadcast dense matrix + per-partition BLAS scoring."""
+    """Exact kNN via broadcast dense matrix + per-partition BLAS scoring.
+    The reference table is fetched as ONE Arrow table (toArrow) and decoded
+    through the flat list-values buffer — no per-row Python float conversion
+    on either the broadcast side or inside the scoring kernel."""
     spark = emb.sparkSession
-    pdf = emb.select("vec_id", "embedding", "label").toPandas()
-    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-    ids = pdf["vec_id"].to_numpy()[order].astype(np.int64)
-    labels = pdf["label"].to_numpy()[order].astype(np.int64)
-    mat = np.array([list(map(float, e)) for e in pdf["embedding"]], dtype=np.float64)[
-        order
-    ]
+    tbl = emb.select("vec_id", "embedding", "label").toArrow()
+    ids_raw = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids_raw, kind="stable")
+    ids = ids_raw[order]
+    labels = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    mat = _emb_matrix(tbl.column("embedding"))[order]
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     b = spark.sparkContext.broadcast((ids, labels, mat_n))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bids, blabels, bmat = b.value
-        for qdf in batches:
-            if qdf.empty:
+        for qb in batches:
+            if qb.num_rows == 0:
                 continue
-            qids = qdf["vec_id"].to_numpy().astype(np.int64)
-            q = np.array([list(map(float, e)) for e in qdf["embedding"]], dtype=np.float64)
+            qids = qb.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            q = _emb_matrix(qb.column("embedding"))
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = np.round(qn @ bmat.T, 6)  # ranking on ROUNDED sims (oracle parity)
             preds = np.empty(len(qids), dtype=np.int64)
@@ -76,9 +78,12 @@ def knn_exact_broadcast(emb: DataFrame, k: int = 5) -> DataFrame:
                 row = np.where(self_mask, -np.inf, row)
                 top = np.argsort(-row, kind="stable")[:k]
                 preds[i] = _majority(blabels[top])
-            yield pd.DataFrame({"vec_id": qids, "pred_label": preds})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids, type=pa.int64()), pa.array(preds, type=pa.int64())],
+                names=["vec_id", "pred_label"],
+            )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInArrow(
         score, "vec_id long, pred_label long"
     )
 

@@ -32,9 +32,7 @@ from pyspark.sql import functions as F
 from landscape_spark.sketch.l0 import (
     SketchParams,
     build_sketches,
-    from_bytes,
     sample_group,
-    to_bytes,
     xor_fold_rows,
 )
 
@@ -52,6 +50,33 @@ def _binary_array(rows: np.ndarray) -> pa.Array:
     assert g * width < (1 << 31), "partition batch exceeds int32 binary offsets"
     offs = pa.py_buffer(np.arange(g + 1, dtype=np.int32) * width)
     return pa.Array.from_buffers(pa.binary(), g, [None, offs, pa.py_buffer(rows.tobytes())])
+
+
+def _binary_matrix(a: pa.Array) -> np.ndarray:
+    """(N, W)-uint64 matrix from an Arrow binary column of FIXED-width values
+    via direct offsets+data buffer access — the read-side twin of
+    _binary_array. ``to_pylist()`` + ``b"".join`` materializes N Python bytes
+    objects per batch (measured ~30x slower on the write side; the read side
+    was the larger half of kernel time in round 2). Falls back to the slow
+    path only if the column is ragged or nullable (never true for sketch
+    blobs)."""
+    if len(a) == 0:
+        return np.empty((0, 0), dtype=np.uint64)
+    if a.null_count == 0:
+        bufs = a.buffers()
+        off_dtype = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dtype)[a.offset : a.offset + len(a) + 1]
+        width = int(offs[1] - offs[0])
+        if width % 8 == 0 and offs[-1] - offs[0] == width * len(a) and np.all(
+            np.diff(offs) == width
+        ):
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            return data[offs[0] : offs[-1]].view(np.uint64).reshape(len(a), width // 8)
+    return np.frombuffer(b"".join(a.to_pylist()), dtype=np.uint64).reshape(len(a), -1)
+
+
+def _stack_binary(parts: list[np.ndarray]) -> np.ndarray:
+    return parts[0] if len(parts) == 1 else np.vstack(parts)
 
 
 def edge_updates(und_edges: DataFrame, n: int) -> DataFrame:
@@ -117,12 +142,14 @@ def xor_merge_by_key(df: DataFrame, key: str, num_partitions: int = 32) -> DataF
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         keys_parts, blob_parts = [], []
         for b in batches:
+            if b.num_rows == 0:
+                continue
             keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
-            blob_parts.extend(b.column("sketch").to_pylist())
+            blob_parts.append(_binary_matrix(b.column("sketch")))
         if not keys_parts:
             return
         keys = np.concatenate(keys_parts).astype(np.int64)
-        rows = np.frombuffer(b"".join(blob_parts), dtype=np.uint64).reshape(len(keys), -1)
+        rows = _stack_binary(blob_parts)
         ids, folded = xor_fold_rows(rows, keys)
         yield pa.RecordBatch.from_arrays(
             [pa.array(ids, type=pa.int64()), _binary_array(folded)],
@@ -219,21 +246,17 @@ def xor_merge_slices(
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         keys_parts: list[np.ndarray] = []
-        cols: dict[str, list[bytes]] = {nm: [] for nm in names}
+        cols: dict[str, list[np.ndarray]] = {nm: [] for nm in names}
         for b in batches:
+            if b.num_rows == 0:
+                continue
             keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
             for nm in names:
-                cols[nm].extend(b.column(nm).to_pylist())
+                cols[nm].append(_binary_matrix(b.column(nm)))
         if not keys_parts:
             return
         keys = np.concatenate(keys_parts).astype(np.int64)
-        wide = np.concatenate(
-            [
-                np.frombuffer(b"".join(cols[nm]), dtype=np.uint64).reshape(len(keys), -1)
-                for nm in names
-            ],
-            axis=1,
-        )
+        wide = np.concatenate([_stack_binary(cols[nm]) for nm in names], axis=1)
         ids, folded = xor_fold_rows(wide, keys)
         W = wide.shape[1] // len(names)
         arrays = [pa.array(ids, type=pa.int64())]
@@ -253,14 +276,14 @@ def partial_fold(df: DataFrame, key: str) -> DataFrame:
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         keys_parts, blob_parts = [], []
         for b in batches:
+            if b.num_rows == 0:
+                continue
             keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
-            blob_parts.extend(b.column("sketch").to_pylist())
+            blob_parts.append(_binary_matrix(b.column("sketch")))
         if not keys_parts:
             return
         keys = np.concatenate(keys_parts).astype(np.int64)
-        rows = np.frombuffer(b"".join(blob_parts), dtype=np.uint64).reshape(
-            len(keys), -1
-        )
+        rows = _stack_binary(blob_parts)
         ids, folded = xor_fold_rows(rows, keys)
         yield pa.RecordBatch.from_arrays(
             [pa.array(ids, type=pa.int64()), _binary_array(folded)],
@@ -281,14 +304,14 @@ def fold_sample(
     def fs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         keys_parts, blob_parts = [], []
         for b in batches:
+            if b.num_rows == 0:
+                continue
             keys_parts.append(b.column(key).to_numpy(zero_copy_only=False))
-            blob_parts.extend(b.column("sketch").to_pylist())
+            blob_parts.append(_binary_matrix(b.column("sketch")))
         if not keys_parts:
             return
         keys = np.concatenate(keys_parts).astype(np.int64)
-        rows = np.frombuffer(b"".join(blob_parts), dtype=np.uint64).reshape(
-            len(keys), -1
-        )
+        rows = _stack_binary(blob_parts)
         ids, folded = xor_fold_rows(rows, keys)
         ok, u, v = sample_group(folded, 0, sparams)
         yield pa.RecordBatch.from_arrays(
@@ -317,9 +340,7 @@ def sample_vertex_groups(
                 continue
             gis, us, vs = [], [], []
             for gi, c in enumerate(cols):
-                rows = np.frombuffer(
-                    b"".join(b.column(c).to_pylist()), dtype=np.uint64
-                ).reshape(b.num_rows, -1)
+                rows = _binary_matrix(b.column(c))
                 ok, u, v = sample_group(rows, 0, sparams)
                 gis.append(np.full(int(ok.sum()), gi, dtype=np.int64))
                 us.append(u[ok])
@@ -345,7 +366,7 @@ def sample_table(df: DataFrame, key: str, group: int, params: SketchParams) -> D
             if b.num_rows == 0:
                 continue
             keys = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            rows = from_bytes(b.column("sketch").to_pylist(), params)
+            rows = _binary_matrix(b.column("sketch"))
             ok, u, v = sample_group(rows, group, params)
             yield pa.RecordBatch.from_arrays(
                 [

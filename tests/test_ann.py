@@ -58,6 +58,27 @@ def test_lsh_topk_recall_planted(spark):
     got = [r.vec_id for r in ann.lsh_topk(emb, q.tolist(), k=10, n_planes=8, n_tables=6).collect()]
     overlap = len(set(truth) & set(got)) / len(truth)
     assert overlap >= 0.8, f"LSH ANN recall too low: {overlap}"
+    # prebuilt (cached) signature tables answer REPEATED queries without
+    # rescanning the corpus and give the identical result
+    sigs = ann.lsh_signature_tables(emb, n_planes=8, n_tables=6)
+    got2 = [
+        r.vec_id
+        for r in ann.lsh_topk(
+            emb, q.tolist(), k=10, n_planes=8, n_tables=6, sigs=sigs
+        ).collect()
+    ]
+    assert got2 == got
+    q2 = -q  # a second query against the SAME prebuilt tables
+    assert (
+        len(
+            ann.lsh_topk(
+                emb, q2.tolist(), k=10, n_planes=8, n_tables=6, sigs=sigs
+            ).collect()
+        )
+        <= 10
+    )
+    for s in sigs:
+        s.unpersist()
 
 
 def test_hyperplane_signatures_deterministic(emb):
