@@ -107,46 +107,105 @@ def ngram_jaccard_sql(threshold: float = 0.5, n: int = NGRAM) -> str:
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 64, seed: int = 42, n: int = NGRAM
 ) -> DataFrame:
-    """(doc_id, sig array<long>): MinHash over character n-gram shingles.
+    """(doc_id, sig array<long>): MinHash over byte n-gram shingles, computed
+    in ONE mapInArrow scan of the documents table with ZERO shuffle.
 
-    No per-row Python anywhere: the shingle is hashed JVM-side (xxhash64
-    inside whole-stage codegen), and the Arrow kernel derives the
-    num_hashes independent functions from that base hash with splitmix64 +
-    per-doc minimum.reduceat — pure vectorized numpy."""
-    shh = shingles(docs, n).select(
-        "doc_id", F.xxhash64("sh", F.lit(seed)).alias("shh")
+    Documents are already unique rows, so nothing needs to be co-located:
+    the kernel reads the Arrow string column's offsets+data buffers directly,
+    packs every n-byte window into a uint64 (n <= 8), splitmix64-mixes it,
+    and takes per-document minimum.reduceat for each of the num_hashes
+    derived functions — pure vectorized numpy over the batch's concatenated
+    text bytes. (Round 2 exploded every shingle, xxhash64'd it JVM-side, then
+    shuffled the whole shingle stream by doc_id just to regroup rows that
+    were never apart — that shuffle moved ~|corpus| rows for nothing.)
+
+    Shingles here are BYTE n-grams (identical to character n-grams on ASCII;
+    a consistent re-definition on multibyte text — both docs of a pair hash
+    the same way, so the Jaccard estimate is unbiased either way). Min over
+    a multiset equals min over the distinct set, so no dedup is needed.
+    Documents shorter than n bytes have no shingles and emit no row.
+
+    Parallelism: at warehouse scale the parquet scan has plenty of input
+    splits and the kernel runs shuffle-free; a small LOCAL corpus can arrive
+    as 1-2 splits, which would serialize the kernel — only then the doc rows
+    are repartitioned first (a shuffle of raw doc bytes, still ~16x less
+    traffic than round 2's exploded-shingle shuffle)."""
+    assert 1 <= n <= 8, "byte-window packing supports n-gram n <= 8"
+    src = docs.select("doc_id", "text")
+    target = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    if src.rdd.getNumPartitions() < max(2, target // 2):
+        src = src.repartition(target)
 
     def sig(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         seeds = splitmix64(np.arange(num_hashes, dtype=np.uint64) + np.uint64(seed << 8))
-        ids_parts, h_parts = [], []
+        mix0 = splitmix64(np.uint64(seed))
         for b in batches:
-            ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
-            h_parts.append(b.column("shh").to_numpy(zero_copy_only=False))
-        if not ids_parts:
-            return
-        doc_ids = np.concatenate(ids_parts).astype(np.int64)
-        base = np.concatenate(h_parts).astype(np.int64).view(np.uint64)
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids, base = doc_ids[order], base[order]
-        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
-        G = len(starts)
-        out = np.empty((G, num_hashes), dtype=np.uint64)
-        for i in range(num_hashes):
-            h = splitmix64(base ^ seeds[i])
-            out[:, i] = np.minimum.reduceat(h, starts)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(doc_ids[starts], type=pa.int64()),
-                pa.array(
-                    out.astype(np.int64).tolist(), type=pa.list_(pa.int64())
-                ),
-            ],
-            names=["doc_id", "sig"],
-        )
+            if b.num_rows == 0:
+                continue
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            ta = b.column("text")
+            bufs = ta.buffers()
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(ta.type) else np.int32
+            )
+            offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+                ta.offset : ta.offset + len(ta) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            start = int(offs[0])
+            seg = data[start : int(offs[-1])]
+            m = len(seg)
+            lens = offs[1:] - offs[:-1]
+            nw = np.maximum(lens - (n - 1), 0)
+            keep = nw > 0
+            if not keep.any():
+                continue
+            # every n-byte window of the batch's concatenated text, packed
+            # little-endian into uint64 (doc-crossing windows masked out by
+            # the per-doc segment gather below)
+            W = np.zeros(m - n + 1, dtype=np.uint64)
+            for i in range(n):
+                W |= seg[i : m - n + 1 + i].astype(np.uint64) << np.uint64(8 * i)
+            reps = nw[keep]
+            base = np.repeat(offs[:-1][keep] - start, reps)
+            csum = np.cumsum(reps)
+            within = np.arange(int(csum[-1])) - np.repeat(csum - reps, reps)
+            vals = splitmix64(W[base + within] ^ mix0)
+            segs = csum - reps  # reduceat starts (strictly increasing)
+            out = np.empty((int(keep.sum()), num_hashes), dtype=np.uint64)
+            for i in range(num_hashes):
+                out[:, i] = np.minimum.reduceat(splitmix64(vals ^ seeds[i]), segs)
+            flat = pa.array(out.reshape(-1).view(np.int64), type=pa.int64())
+            list_offs = pa.array(
+                np.arange(int(keep.sum()) + 1, dtype=np.int32) * num_hashes,
+                type=pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[keep], type=pa.int64()),
+                    pa.ListArray.from_arrays(list_offs, flat),
+                ],
+                names=["doc_id", "sig"],
+            )
 
-    part = shh.repartition(F.col("doc_id"))
-    return part.mapInArrow(sig, "doc_id long, sig array<long>")
+    return src.mapInArrow(sig, "doc_id long, sig array<long>")
+
+
+def tune_banding(
+    threshold: float, num_hashes: int, target_recall: float = 0.995
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for the S-curve 1-(1-t^r)^b: the most selective
+    r (fewest sub-threshold candidate pairs) whose theoretical recall AT the
+    threshold still meets target_recall with b = num_hashes // r. On corpora
+    dense in moderately-similar pairs, selectivity is the whole game: r=4
+    admits ~64%% of J=0.5 pairs where r=6 admits ~28%%."""
+    for r in range(8, 1, -1):
+        b = num_hashes // r
+        if b >= 1 and 1.0 - (1.0 - threshold**r) ** b >= target_recall:
+            return b, r
+    return num_hashes, 1
 
 
 def hash_bytes_u64(b: bytes) -> np.uint64:
@@ -189,10 +248,10 @@ def lsh_candidate_pairs(
 def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 128,
+    bands: int | None = None,
     seed: int = 42,
-    est_margin: float = 0.2,
+    est_margin: float = 0.15,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates, EXACT-verified with true
     n-gram Jaccard computed ONLY for the candidate pairs (array_intersect on
@@ -200,21 +259,32 @@ def minhash_lsh_dedup(
     explodes quadratically on hot shingles; that quadratic exact join lives
     in ngram_jaccard_pairs as the small-scale baseline).
 
+    Banding geometry auto-tunes to the threshold (tune_banding): the most
+    selective rows_per_band whose theoretical recall at the threshold stays
+    >= 0.995 — on self-similar corpora (millions of J~0.5 pairs) selectivity
+    dominates the wall-clock, since every admitted sub-threshold pair costs
+    a screen-join row. Pass ``bands`` to pin the geometry explicitly
+    (rows_per_band = num_hashes // bands, the round-2 behavior).
+
     Verify-at-threshold: candidates are first SCREENED by the signature
-    Jaccard estimate (matching minhash fraction — a 512-byte JVM column
-    expression), and the heavy shingle-set fetch runs only for pairs with
-    estimate >= threshold - est_margin. With 64 hashes the estimate's sigma
-    at J=0.8 is ~0.05, so the default 0.2 margin drops a true positive w.p.
-    ~3e-5 — output rows are unchanged (w.h.p.) while sub-threshold candidate
-    mass (which LSH banding lets through in bulk on self-similar corpora)
-    never touches the shingle sets. Exact verification intersects
-    xxhash64-HASHED shingle sets (8-byte longs, not strings; a false
-    intersection needs a 64-bit collision inside one pair's sets, ~1e-13).
+    Jaccard estimate (matching minhash fraction — a JVM column expression),
+    and the heavy shingle-set fetch runs only for pairs with estimate >=
+    threshold - est_margin. With 128 hashes the estimate's sigma at J=0.8 is
+    ~0.035, so the default 0.15 margin (~4.2 sigma) drops a true positive
+    w.p. ~1e-5 — output rows are unchanged (w.h.p.) while sub-threshold
+    candidate mass never touches the shingle sets. Exact verification
+    intersects xxhash64-HASHED shingle sets (8-byte longs, not strings; a
+    false intersection needs a 64-bit collision inside one pair's sets,
+    ~1e-13).
 
     Output ⊆ ngram_jaccard_pairs; recall measured in tests. Returns
     (doc_lo, doc_hi, jac)."""
+    if bands is None:
+        bands, rows_per_band = tune_banding(threshold, num_hashes)
+    else:
+        rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes=num_hashes, seed=seed).cache()
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     est = F.size(
         F.filter(F.zip_with("sig_lo", "sig_hi", lambda x, y: x == y), lambda b: b)
     ) / F.lit(float(num_hashes))

@@ -80,7 +80,7 @@ def test_minhash_lsh_recall(spark, docs):
     }
     got = {
         (r.doc_lo, r.doc_hi)
-        for r in dedup.minhash_lsh_dedup(docs, threshold=0.5, bands=32).collect()
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
     }
     assert got <= truth
     if truth:
