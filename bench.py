@@ -108,10 +108,15 @@ def main() -> None:
     connected_components_exact(e_und, verts).count()
     queries["cc_exact"] = round(time.time() - t0, 3)
 
+    # best-of-3 min-time, like ingest: a single shot is polluted by host CPU
+    # steal bursts (the round-2 "regression" was exactly that — one unlucky
+    # single-shot record published unflagged)
     pr_iters = 10
-    t0 = time.time()
-    pagerank(e_dir, verts, n, iters=pr_iters).count()
-    pr_sec = time.time() - t0
+    pr_sec = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        pagerank(e_dir, verts, n, iters=pr_iters).count()
+        pr_sec = min(pr_sec, time.time() - t0)
     queries["pagerank_10iter"] = round(pr_sec, 3)
     pr_iter_sec = pr_sec / pr_iters
 
@@ -123,6 +128,20 @@ def main() -> None:
     tri = triangle_count(e_und).first()[0]
     queries["triangle_count"] = round(time.time() - t0, 3)
     log(f"[triangles] {tri}")
+
+    # k-forest certificate run with peak-RSS sampling (the reference's
+    # max-RSS metric for this experiment, cluster_k_connect_expr.cpp:124)
+    from landscape_spark.metrics import PeakRssSampler
+    from landscape_spark.sketch.boruvka import k_spanning_forests
+
+    with PeakRssSampler(interval=0.2) as rss:
+        t0 = time.time()
+        kf_edges = k_spanning_forests(
+            spark, e_und, n, k=2, seed=42, num_partitions=max(8, cpus)
+        ).count()
+        queries["k_spanning_forests_k2"] = round(time.time() - t0, 3)
+    kforest_max_rss_mib = round(rss.peak_mib, 1)
+    log(f"[kforest] {kf_edges} forest edges, max_rss={kforest_max_rss_mib} MiB")
 
     # ------------------------------------------------------------------
     # 3. Training-data pipeline ops on documents/embeddings
@@ -153,6 +172,7 @@ def main() -> None:
         "ingest_cores": cpus,
         "pagerank_iter_sec": round(pr_iter_sec, 3),
         "cc_query_sec": round(cc_alg_sec, 3),
+        "kforest_max_rss_mib": kforest_max_rss_mib,
     }
     hb.stop()
     result["heartbeat_samples"] = sum(1 for _ in open("/tmp/landscape_heartbeat.jsonl"))

@@ -1,8 +1,13 @@
 """Scaling-efficiency evidence (north rule: >= 0.8 from N to 4N parallelism).
 
-Runs the SAME ingest + query job at local[8] and local[32] on identical
-input (the sandbox proxy for N vs 4N executors — no real cluster here), and
-writes BENCH/BASELINE.md with throughput at both plus the efficiency ratio.
+Runs the SAME ingest + query job at two parallelism levels — DEFAULT
+local[2] vs local[8] (N and 4N cores; the sandbox proxy for N vs 4N
+executors — no real cluster here) — on identical input, and writes
+BENCH/BASELINE.md with throughput at both plus the efficiency ratio. The
+2->8 default is deliberate: this VM advertises 32 CPUs but delivers ~14-16
+effective cores (measured in main() below), so 8->32 cannot show true 4x
+scaling for ANY workload here; set SCALE_LEVELS=8,32 to reproduce that
+ceiling measurement.
 
 Each parallelism level runs in a fresh subprocess (a JVM can't change its
 core count mid-session).

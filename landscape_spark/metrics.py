@@ -68,6 +68,81 @@ def comm_factor(
     return wire / payload_bytes
 
 
+def _proc_rss_mib(pid: int) -> float:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        return 0.0
+    return 0.0
+
+
+def _descendant_pids(root: int, depth: int = 2) -> list[int]:
+    """Child (and grandchild) PIDs via /proc ppid scan — the py4j-launched
+    JVM is a direct child of the driver, its Python UDF workers one below."""
+    by_parent: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            by_parent.setdefault(int(parts[1]), []).append(int(d))
+        except (OSError, IndexError, ValueError):
+            continue
+    out: list[int] = []
+    frontier = [root]
+    for _ in range(depth):
+        nxt: list[int] = []
+        for p in frontier:
+            nxt.extend(by_parent.get(p, []))
+        out.extend(nxt)
+        frontier = nxt
+    return out
+
+
+class PeakRssSampler:
+    """Samples resident-set size of the driver process PLUS its descendant
+    JVM/worker processes every ``interval`` seconds; ``peak_mib`` is the
+    maximum TOTAL observed. The analog of the reference's max-RSS report for
+    the k-forest experiment (/root/reference/experiment/
+    cluster_k_connect_expr.cpp:14-18,124 get_max_mem_used) — sampled VmRSS
+    rather than ru_maxrss so the figure covers the phase, not process
+    lifetime."""
+
+    def __init__(self, interval: float = 0.2) -> None:
+        self.interval = interval
+        self.peak_mib = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _sample(self) -> None:
+        me = os.getpid()
+        total = _proc_rss_mib(me) + sum(
+            _proc_rss_mib(p) for p in _descendant_pids(me)
+        )
+        self.peak_mib = max(self.peak_mib, total)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self._sample()
+            except Exception:
+                pass
+            self._stop.wait(self.interval)
+
+    def __enter__(self) -> "PeakRssSampler":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self._sample()
+
+
 class HeartbeatReporter:
     """Daemon thread writing {ts, active_stages, totals...} JSON lines to
     ``path`` every ``interval`` seconds. The reference's status file is an

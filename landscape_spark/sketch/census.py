@@ -247,10 +247,47 @@ def ablation_sweep(
     return out
 
 
+def variant_ablation(n: int = 1024, n_seeds: int = 6) -> list[dict]:
+    """CameoSketch-vs-CubeSketch A/B (the reference's USE_CUBE build flag,
+    CMakeLists.txt:57-61): same geometry, different level-assignment rule.
+    cube writes every prefix level (~2x bucket XORs per update); the census
+    measures whether its denser shallow levels buy a lower sampling-failure
+    rate or faster convergence — the accuracy/ingest-cost trade."""
+    lg = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    out = []
+    for variant in ("cameo", "cube"):
+        attempts = failures = 0
+        max_rounds = 0
+        for shape, edges in graph_shapes(n).items():
+            for s in range(n_seeds):
+                p = SketchParams(
+                    n=n, rounds=lg + 8, cols=3, depths=lg + 4, seed=4000 + s,
+                    variant=variant,
+                )
+                a, f, r, _ = census_one(n, edges, seed=4000 + s, params=p)
+                attempts += a
+                failures += f
+                max_rounds = max(max_rounds, r)
+        out.append(
+            {
+                "variant": variant,
+                "n": n,
+                "attempts": attempts,
+                "failures": failures,
+                "failure_rate": round(failures / attempts, 6) if attempts else 0.0,
+                "max_rounds_used": max_rounds,
+                "bucket_xors_per_update_per_group": 3 if variant == "cameo" else 6,
+            }
+        )
+    return out
+
+
 if __name__ == "__main__":
     import json
 
     for r in run_census():
         print(json.dumps(r.as_dict()))
     for row in ablation_sweep():
+        print(json.dumps(row))
+    for row in variant_ablation():
         print(json.dumps(row))

@@ -48,6 +48,18 @@ class SketchParams:
     cols: int  # columns per group (failure prob per group ~ const^cols)
     depths: int  # geometric levels per column (~log2(n) + slack)
     seed: int = 42
+    # Level-assignment rule (the reference's USE_CUBE ablation,
+    # /root/reference/CMakeLists.txt:57-61 — CameoSketch vs CubeSketch,
+    # plotting/latex/defines.tex:90-94):
+    #   "cameo": each update touches EXACTLY ONE level per column
+    #            (level = trailing_zeros(hash)) — O(cols) bucket XORs per
+    #            update per group; the production default.
+    #   "cube":  classic AGM prefix subsampling — the update lands in every
+    #            level 0..trailing_zeros(hash) (level d keeps a 2^-d
+    #            subsample), ~2x the bucket XORs per update on average,
+    #            denser shallow levels. Same GOOD-bucket test, same
+    #            linearity; A/B'd in sketch/census.variant_ablation.
+    variant: str = "cameo"
 
     @staticmethod
     def for_graph(n: int, seed: int = 42, cols: int = 3, extra_rounds: int = 6) -> "SketchParams":
@@ -163,6 +175,19 @@ def build_sketches(
             np.bitwise_xor(cs, seeds[rc], out=hE)
             splitmix64_inplace(hE, tmpE)
             trailing_zeros_inplace(hE, D - 1, f64E, dE, tmpE)
+            if params.variant == "cube":
+                # prefix subsampling: XOR into EVERY level 0..tz (level d is
+                # a 2^-d subsample). Level populations halve per step, so
+                # total scatter work is ~2x the cameo rule's.
+                for lvl in range(D):
+                    sel = dE >= lvl
+                    if not sel.any():
+                        break
+                    idx = val_base[sel] + (rc * D + lvl) * 2
+                    np.bitwise_xor.at(o, idx, cs[sel])
+                    np.bitwise_xor.at(o, idx + 1, chks[sel])
+                continue
+            # cameo rule: exactly one level per (update, column)
             # flat = val_base + (rc*D + d) * 2
             np.add(dE, rc * D, out=flatE)
             np.multiply(flatE, 2, out=flatE)

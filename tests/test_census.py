@@ -36,3 +36,35 @@ def test_census_batched_schedule_fits_budget():
         for s in range(3):
             a, f, rounds, budget = census_one(256, edges, seed=500 + s, batched=True)
             assert rounds <= budget, (shape, s, rounds, budget)
+
+
+def test_cube_variant_converges_and_linear():
+    """The CubeSketch-style prefix-subsampling variant (USE_CUBE ablation)
+    must converge correctly inside the budget and stay LINEAR (delta-merge =
+    rebuild from the union) like the production cameo rule."""
+    import numpy as np
+
+    from landscape_spark.sketch.census import variant_ablation
+    from landscape_spark.sketch.l0 import SketchParams, build_sketches, edge_code
+
+    rows = variant_ablation(n=128, n_seeds=2)
+    by = {r["variant"]: r for r in rows}
+    assert by["cube"]["failure_rate"] < 0.1
+    assert by["cube"]["max_rounds_used"] <= by["cube"]["attempts"]  # sanity
+    # linearity: sketches of edge sets A and B XOR to the sketch of A u B
+    p = SketchParams(n=32, rounds=4, cols=3, depths=9, seed=5, variant="cube")
+    ea = np.array([0, 1, 2], dtype=np.int64)
+    eb = np.array([1, 2, 3], dtype=np.int64)
+    ca = edge_code(ea, ea + 4, 32)
+    cb = edge_code(eb, eb + 9, 32)
+    va, sa = build_sketches(np.repeat(ea, 1), ca, p)
+    vb, sb = build_sketches(np.repeat(eb, 1), cb, p)
+    vu, su = build_sketches(np.concatenate([ea, eb]), np.concatenate([ca, cb]), p)
+    import collections
+    m = collections.defaultdict(lambda: np.zeros(p.n_slots, dtype=np.uint64))
+    for v, s in zip(va, sa):
+        m[int(v)] ^= s
+    for v, s in zip(vb, sb):
+        m[int(v)] ^= s
+    for v, s in zip(vu, su):
+        assert np.array_equal(m[int(v)], s)
