@@ -36,7 +36,7 @@ from landscape_spark.sketch.build import (
     build_sketch_table,
     fold_sample,
     partial_fold,
-    sample_table,
+    sample_table_multi,
     sample_vertex_groups,
     slice_params,
     xor_merge_by_key,
@@ -105,43 +105,69 @@ def _boruvka_pass(
     forest edges accumulate as unioned DataFrames, never a Python list —
     round 0 of a pass is O(n) samples, which must not transit the driver.
     """
+    import math as _math
+
     forest_parts: list[DataFrame] = []
     groups_used = 0
     comp_sketch = vid_sketches.withColumnRenamed("vid", "comp").localCheckpoint(
         eager=True
     )
-    for g in range(start_group, min(start_group + max_groups, params.rounds)):
-        groups_used += 1
-        samples = sample_table(comp_sketch, "comp", g, params)
+    # live-component count drives the batched pass schedule (same shape as
+    # _cc_rounds: 4 groups first pass, 2 after, reserve to 1 near the budget
+    # edge). The blob row decodes fully per sample anyway, so a j-group pass
+    # costs ONE scan instead of j — the dominant win for k-forest passes.
+    n_live = comp_sketch.count()
+    g = start_group
+    end = min(start_group + max_groups, params.rounds)
+    first = True
+    while g < end:
+        if n_live > collect_threshold:
+            # distributed rounds contract strictly sequentially — groups
+            # sampled at stale pass-start labels would be discarded, so
+            # spend one group per pass (n_samp <= n_live keeps this branch
+            # aligned with the star-contraction path below)
+            j = 1
+        else:
+            j = 4 if first else 2
+            if end - g <= _math.ceil(_math.log2(max(n_live, 2))) + 1:
+                j = 1
+        first = False
+        gs = list(range(g, min(g + j, end)))
+        g += len(gs)
+        groups_used += len(gs)
+        samples = sample_table_multi(comp_sketch, "comp", gs, params)
         u_map = vmap.select(F.col("v").alias("u"), F.col("comp").alias("comp_u"))
         v_map = vmap.select(F.col("v").alias("v2"), F.col("comp").alias("comp_v"))
         resolved = (
             samples.join(u_map, on="u")
             .join(v_map, samples.v == v_map.v2)
-            .select("u", "v", "comp_u", "comp_v")
+            .select("gi", "u", "v", "comp_u", "comp_v")
             .where(F.col("comp_u") != F.col("comp_v"))
             .localCheckpoint(eager=True)
         )
         n_samp = resolved.count()
         if n_samp == 0:
             if on_round is not None:
-                on_round(g, 0, False)
+                on_round(gs[0], 0, False)
             break  # no component produced a cut edge: converged (or dry)
         merged_any = False
+        n_merged = 0
         if n_samp <= collect_threshold:
             dsu = DSU()
             touched: set[int] = set()
             accepted: list[tuple[int, int]] = []
-            # canonical-edge sort: the accepted forest is deterministic,
-            # independent of collect partition order
+            # group-then-canonical-edge sort: groups apply in consumption
+            # order and the accepted forest is deterministic, independent of
+            # collect partition order
             for row in sorted(
-                resolved.collect(), key=lambda r: (min(r.u, r.v), max(r.u, r.v))
+                resolved.collect(), key=lambda r: (r.gi, min(r.u, r.v), max(r.u, r.v))
             ):
                 if dsu.union(row.comp_u, row.comp_v):
                     touched.add(row.comp_u)
                     touched.add(row.comp_v)
                     accepted.append((min(row.u, row.v), max(row.u, row.v)))
             merged_any = bool(accepted)
+            n_merged = len(accepted)
             if merged_any:
                 forest_parts.append(
                     spark.createDataFrame(
@@ -188,6 +214,7 @@ def _boruvka_pass(
                 .localCheckpoint(eager=True)
             )
             merged_any = True  # every sampled component keeps an edge
+            n_merged = kept.count()  # kept set is acyclic: one union per edge
             forest_parts.append(kept.select("a", "b"))
             changes = _star_contraction(
                 kept.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
@@ -202,7 +229,8 @@ def _boruvka_pass(
             ).distinct()
             remap_df = changes.unionAll(roots).localCheckpoint(eager=True)
         if on_round is not None:
-            on_round(g, n_samp, merged_any)
+            on_round(gs[0], n_samp, merged_any)
+        n_live -= n_merged
         if not merged_any:
             continue
         # remap ONLY this round's touched components; everything untouched
@@ -571,18 +599,25 @@ def k_spanning_forests(
     (graph_distrib_update.cpp:11-14,25).
     """
     lg = max(1, int(np.ceil(np.log2(max(n, 2)))))
-    per_pass = 2 * lg + 4
-    params = SketchParams(n=n, rounds=k * per_pass, cols=4, depths=lg + 4, seed=seed)
+    # per-pass budget = the census-calibrated CC budget (log2(n) + retry
+    # slack; BENCH/CENSUS.md) — each forest pass is one CC run on the
+    # remaining graph. cols=3 is the calibrated geometry. The earlier
+    # 2*log2(n)+4 / cols=4 sizing doubled sketch bytes (and build + merge +
+    # checkpoint traffic) for slack the census shows is never used; the
+    # reserve schedule + exhaustion warning in _boruvka_pass guard the tail.
+    per_pass = lg + 6
+    params = SketchParams(n=n, rounds=k * per_pass, cols=3, depths=lg + 4, seed=seed)
     vid_sketches = build_sketch_table(und_edges, params, num_partitions).localCheckpoint(
         eager=True
     )
+    vmap0 = _initial_vmap(und_edges)  # same vertex set every pass
     forests: list[DataFrame] = []
     group_cursor = 0
     for t in range(k):
         vmap, forest, used = _boruvka_pass(
             spark,
             vid_sketches,
-            _initial_vmap(und_edges),
+            vmap0,
             params,
             start_group=group_cursor,
             max_groups=per_pass,
