@@ -186,6 +186,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the vector-space dedup operator).
+    Exact broadcast-BLAS path at gate scale (oracle-matched all-pairs); the
+    LSH-candidate path takes over above BROADCAST_THRESHOLD rows
+    (recall-tested in tests/test_ann.py)."""
+    from landscape_spark.sim.embdup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.35
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.sim import ann
 
@@ -221,6 +233,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
+    "dedup_embedding_cosine": q_embdup,
     "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
     "ann_cosine_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,  # rows-only: approximate by design
@@ -367,6 +380,7 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
 
 def _text_oracles() -> dict[str, str]:
     from landscape_spark.sim import ann  # noqa: F401 (SQL helpers below)
+    from landscape_spark.sim.embdup import embedding_near_dup_sql
     from landscape_spark.text import analysis, dedup
 
     ann_sql = """
@@ -400,6 +414,7 @@ keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)
 SELECT f.doc_id, k.keep_id FROM fp f JOIN keep k ON k.fp = f.fp
 """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(threshold=0.5),
+        "dedup_embedding_cosine": embedding_near_dup_sql(threshold=0.35),
         "ann_cosine_topk": ann_sql,
     }
 

@@ -172,3 +172,61 @@ def test_ivf_training_deterministic_and_scan_fraction(spark):
     # probing 2 of 8 cells scans a fraction, not the corpus
     top2 = sorted(sizes.values(), reverse=True)[:2]
     assert sum(top2) < 300
+
+
+def test_embedding_near_dup_exact_matches_duckdb(emb, sf_small):
+    from landscape_spark.sim import embdup
+
+    got = sorted(
+        map(tuple, embdup.embedding_near_dup_pairs(emb, threshold=0.35).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE embeddings AS SELECT * FROM '{sf_small}/embeddings.parquet'"
+    )
+    expected = sorted(
+        con.execute(embdup.embedding_near_dup_sql(threshold=0.35)).fetchall()
+    )
+    assert len(got) == len(expected) and got == expected
+    assert all(lo < hi for lo, hi, _ in got)
+
+
+def test_embedding_near_dup_exact_plan_has_no_cartesian(emb):
+    from landscape_spark.sim import embdup
+
+    plan = embdup.embedding_near_dup_exact(emb, threshold=0.35)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_lsh_recall_planted(spark):
+    """The LSH scale path must recover (nearly) all PLANTED high-cosine pairs
+    (the sf embeddings are near-uniform, so recall is only meaningful on a
+    planted fixture — same rationale as test_lsh_topk_recall_planted)."""
+    from landscape_spark.sim import embdup
+
+    rng = np.random.default_rng(3)
+    dim = 64
+    rows = []
+    for g in range(12):  # 12 planted pairs at cosine ~0.97
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        v = base + 0.03 * rng.normal(size=dim)
+        rows.append((2 * g, base.astype(float).tolist()))
+        rows.append((2 * g + 1, (v / np.linalg.norm(v)).astype(float).tolist()))
+    for i in range(24, 424):
+        v = rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {
+        (r.id_lo, r.id_hi)
+        for r in embdup.embedding_near_dup_exact(emb_df, threshold=0.9).collect()
+    }
+    assert truth >= {(2 * g, 2 * g + 1) for g in range(12)}
+    got = {
+        (r.id_lo, r.id_hi)
+        for r in embdup.embedding_near_dup_lsh(emb_df, threshold=0.9).collect()
+    }
+    assert got <= truth  # exact rescore => precision 1.0
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"embedding LSH recall too low: {recall}"
