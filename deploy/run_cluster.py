@@ -1,7 +1,11 @@
 """spark-submit entry point for the multi-executor deploy (north rule).
 
-The session comes from spark-submit's cluster conf — this script never sets
-a master, so the SAME artifact runs at N and 4N executors:
+The reference deploys by launching MPI ranks across hosts from a run script
+(/root/reference/tools/run_experiments.sh:141-160 builds the hostfile and
+mpirun invocation per cluster size); the Spark analog is spark-submit with
+--py-files carrying the engine to every executor. The session comes from
+spark-submit's cluster conf — this script never sets a master, so the SAME
+artifact runs at N and 4N executors:
 
     python deploy/make_pyfiles.py
     spark-submit --py-files dist/landscape_spark.zip \
