@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from landscape_spark.sketch.build import (
     build_group_slices,
-    build_sketch_table,
     fold_sample,
     partial_fold,
     sample_table_multi,
@@ -500,6 +499,175 @@ def _cc_rounds(
     return vmap
 
 
+def _forest_pass_slices(
+    spark: SparkSession,
+    slices: DataFrame,
+    params: SketchParams,
+    start_group: int,
+    max_groups: int,
+    num_partitions: int,
+    collect_threshold: int = COLLECT_THRESHOLD,
+) -> tuple[DataFrame, DataFrame, int]:
+    """One Boruvka emulation over the COLUMNAR slice table that also returns
+    the extracted forest edges — the k-forest engine, on the SAME scale
+    machinery as the flagship _cc_rounds: per-pass column-pruned projection
+    (only the consumed groups' columns ship), map-side partial XOR fold, one
+    shuffle fusing the final fold with l0 sampling, driver DSU under
+    collect_threshold / min-edge rule + star contraction above it. Unlike
+    the blob-table _boruvka_pass, component sketches are NEVER materialized
+    or re-merged — every pass re-folds from the immutable vertex slices
+    under the current labels, so per-pass traffic is O(n slice bytes + vmap)
+    instead of O(live supernodes x full blob) (+ a full-blob checkpoint).
+
+    vmap starts as the identity (fresh pass), so the first pass samples
+    straight off the vertex rows with no fold, no shuffle, no label joins.
+    Returns (vid->comp map, forest edges (a, b), groups consumed)."""
+    import math as _math
+
+    sp = slice_params(params)
+    vmap = slices.select(
+        F.col("vid").alias("v"), F.col("vid").alias("comp")
+    ).localCheckpoint(eager=True)
+    n_live = slices.count()
+    forest_parts: list[DataFrame] = []
+    groups_used = 0
+    g = start_group
+    end = min(start_group + max_groups, params.rounds)
+    first = True
+    while g < end and n_live > 1:
+        if n_live > collect_threshold:
+            j = 1  # distributed rounds contract strictly sequentially
+        else:
+            j = 4 if first else 2
+            if end - g <= _math.ceil(_math.log2(max(n_live, 2))) + 1:
+                j = 1
+        gs = list(range(g, min(g + j, end)))
+        g += len(gs)
+        groups_used += len(gs)
+        if first:
+            # identity labels: sample straight off the unique vertex rows
+            resolved = sample_vertex_groups(
+                slices, [f"g{gg}" for gg in gs], sp
+            ).select(
+                "gi",
+                "u",
+                "v",
+                F.col("u").alias("comp_u"),
+                F.col("v").alias("comp_v"),
+            )
+        else:
+            stack = F.expr(
+                f"stack({len(gs)}, "
+                + ", ".join(f"{i}L, g{gg}" for i, gg in enumerate(gs))
+                + ") as (gi, sketch)"
+            )
+            keyed = (
+                slices.select(F.col("vid").alias("v"), stack)
+                .join(vmap, on="v")
+                .select((F.col("comp") * len(gs) + F.col("gi")).alias("ckey"), "sketch")
+            )
+            samples = fold_sample(
+                partial_fold(keyed, "ckey"), "ckey", sp, num_partitions
+            )
+            u_map = vmap.select(F.col("v").alias("u"), F.col("comp").alias("comp_u"))
+            v_map = vmap.select(F.col("v").alias("v2"), F.col("comp").alias("comp_v"))
+            resolved = (
+                samples.join(u_map, on="u")
+                .join(v_map, samples.v == v_map.v2)
+                .select(
+                    (F.col("ckey") % len(gs)).alias("gi"), "u", "v", "comp_u", "comp_v"
+                )
+                .where(F.col("comp_u") != F.col("comp_v"))
+            )
+        first = False
+        resolved = resolved.localCheckpoint(eager=True)
+        n_samp = resolved.count()
+        if n_samp == 0:
+            break  # no live component holds a cut edge: forest complete
+        n_merged = 0
+        if n_samp <= collect_threshold:
+            dsu = DSU()
+            touched: set[int] = set()
+            accepted: list[tuple[int, int]] = []
+            for row in sorted(
+                resolved.collect(), key=lambda r: (r.gi, min(r.u, r.v), max(r.u, r.v))
+            ):
+                if dsu.union(row.comp_u, row.comp_v):
+                    touched.add(row.comp_u)
+                    touched.add(row.comp_v)
+                    accepted.append((min(row.u, row.v), max(row.u, row.v)))
+            n_merged = len(accepted)
+            if not accepted:
+                continue
+            forest_parts.append(
+                spark.createDataFrame(
+                    _pd.DataFrame(
+                        {
+                            "a": _np_arr([e[0] for e in accepted]),
+                            "b": _np_arr([e[1] for e in accepted]),
+                        }
+                    )
+                )
+            )
+            remap = [(c, dsu.find(c)) for c in sorted(touched) if dsu.find(c) != c]
+            remap_df = F.broadcast(
+                spark.createDataFrame(
+                    _pd.DataFrame(
+                        {
+                            "old_comp": _np_arr([r[0] for r in remap]),
+                            "new_comp": _np_arr([r[1] for r in remap]),
+                        }
+                    )
+                )
+            )
+        else:
+            # Boruvka min-edge rule (acyclic by the max-edge-in-cycle
+            # argument) + star contraction — no driver collect; only the
+            # vid->comp map updates, so no root self-maps are needed here
+            # (there is no supernode table to XOR-merge on this path).
+            ek = resolved.select(
+                F.least("u", "v").alias("a"),
+                F.greatest("u", "v").alias("b"),
+                "comp_u",
+                "comp_v",
+            )
+            sym = ek.select(
+                F.col("comp_u").alias("c"), "a", "b", "comp_u", "comp_v"
+            ).unionAll(
+                ek.select(F.col("comp_v").alias("c"), "a", "b", "comp_u", "comp_v")
+            )
+            kept = (
+                sym.groupBy("c")
+                .agg(
+                    F.min_by(
+                        F.struct("a", "b", "comp_u", "comp_v"), F.struct("a", "b")
+                    ).alias("e")
+                )
+                .select("e.a", "e.b", "e.comp_u", "e.comp_v")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_merged = kept.count()
+            forest_parts.append(kept.select("a", "b"))
+            remap_df = _star_contraction(
+                kept.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
+                num_partitions,
+            ).localCheckpoint(eager=True)
+        vmap = (
+            vmap.join(remap_df, vmap.comp == remap_df.old_comp, "left")
+            .select("v", F.coalesce("new_comp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        n_live -= n_merged
+    if forest_parts:
+        forest = forest_parts[0]
+        for p in forest_parts[1:]:
+            forest = forest.unionAll(p)
+    else:
+        forest = spark.createDataFrame([], "a long, b long")
+    return vmap, forest, groups_used
+
+
 def connected_components_sketch(
     spark: SparkSession,
     und_edges: DataFrame,
@@ -607,17 +775,17 @@ def k_spanning_forests(
     # reserve schedule + exhaustion warning in _boruvka_pass guard the tail.
     per_pass = lg + 6
     params = SketchParams(n=n, rounds=k * per_pass, cols=3, depths=lg + 4, seed=seed)
-    vid_sketches = build_sketch_table(und_edges, params, num_partitions).localCheckpoint(
-        eager=True
-    )
-    vmap0 = _initial_vmap(und_edges)  # same vertex set every pass
+    # columnar slice layout, like the flagship CC path: built once, persisted
+    # (the in-memory columnar cache prunes to the consumed groups' columns
+    # per pass), never rematerialized per round
+    slices = build_group_slices(und_edges, params, num_partitions).persist()
+    slices.count()
     forests: list[DataFrame] = []
     group_cursor = 0
     for t in range(k):
-        vmap, forest, used = _boruvka_pass(
+        vmap, forest, used = _forest_pass_slices(
             spark,
-            vid_sketches,
-            vmap0,
+            slices,
             params,
             start_group=group_cursor,
             max_groups=per_pass,
@@ -633,12 +801,17 @@ def k_spanning_forests(
         # delete forest edges: XOR their codes back into BOTH endpoint
         # supernodes (self-inverse). Re-INSERTING an edge IS its deletion in
         # a linear sketch, so the delta table is just another distributed
-        # sketch build over the forest edges — O(forest) stays on executors
+        # slice build over the forest edges — O(forest) stays on executors
         # (the reference XORs them on rank 0, graph_distrib_update.cpp:180-183).
-        delta = build_sketch_table(forest, params, num_partitions)
-        vid_sketches = xor_merge_by_key(
-            vid_sketches.unionAll(delta), "vid", num_partitions
-        ).localCheckpoint(eager=True)
+        from landscape_spark.sketch.build import xor_merge_slices
+
+        delta = build_group_slices(forest, params, num_partitions)
+        new_slices = xor_merge_slices(
+            slices.unionAll(delta), "vid", params, num_partitions
+        ).persist()
+        new_slices.count()
+        slices.unpersist()
+        slices = new_slices
     if not forests:
         return spark.createDataFrame([], "forest_id int, a long, b long")
     out = forests[0]
