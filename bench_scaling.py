@@ -80,9 +80,13 @@ ed = (linkgraph.synth_edge_stream(spark, n, min(m, 1 << 22), seed=42)
       .select("src", "dst").distinct().cache())
 ed.count()
 verts = spark.range(n).select(F.col("id").alias("v"))
-t0 = time.time()
-pagerank(ed, verts, n, iters=10).count()
-pr = time.time() - t0
+# best-of-2 min-time, like ingest: a single shot absorbs whole steal bursts
+# (the first rep also pays Python-worker + cache warmup)
+pr = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    pagerank(ed, verts, n, iters=10).count()
+    pr = min(pr, time.time() - t0)
 print(json.dumps({"cpus": cpus, "updates": m_upd, "ingest_sec": ingest,
                   "rate": m_upd / ingest, "cc_sec": cc, "rounds": rounds,
                   "ncomp": ncomp, "pr10_sec": pr}))
