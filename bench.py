@@ -149,11 +149,19 @@ def main() -> None:
     from landscape_spark.sim import ann
     from landscape_spark.text import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
-    docs.count()
-    t0 = time.time()
-    dedup.minhash_lsh_dedup(docs, threshold=0.8).count()
-    queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    # best-of-2 min-time with a cache clear between reps: the pipeline
+    # caches its signature table internally and Spark's plan-keyed cache
+    # would otherwise turn rep 2 into a cache read (see memory: persist is
+    # keyed by the canonicalized plan)
+    dedup_sec = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+        docs.count()
+        t0 = time.time()
+        dedup.minhash_lsh_dedup(docs, threshold=0.8).count()
+        dedup_sec = min(dedup_sec, time.time() - t0)
+    queries["dedup_minhash_lsh"] = round(dedup_sec, 3)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
