@@ -35,10 +35,8 @@ from landscape_spark.sketch.build import (
     build_group_slices,
     fold_sample,
     partial_fold,
-    sample_table_multi,
     sample_vertex_groups,
     slice_params,
-    xor_merge_by_key,
 )
 from landscape_spark.sketch.l0 import SketchParams
 
@@ -78,186 +76,6 @@ class DSU:
         lo, hi = (ra, rb) if ra < rb else (rb, ra)
         self.parent[hi] = lo
         return True
-
-
-def _boruvka_pass(
-    spark: SparkSession,
-    vid_sketches: DataFrame,
-    vmap: DataFrame,
-    params: SketchParams,
-    start_group: int,
-    max_groups: int,
-    num_partitions: int,
-    on_round=None,
-    collect_threshold: int = COLLECT_THRESHOLD,
-) -> tuple[DataFrame, DataFrame, int]:
-    """One full Boruvka emulation starting from per-VERTEX sketches.
-
-    Returns (final vid->comp map, forest-edge DataFrame (a, b), groups
-    consumed). The reference collects every round's samples on rank 0
-    (src/graph_distrib_update.cpp:156-209); here the driver DSU runs only
-    under ``collect_threshold`` samples. Above it the round stays fully
-    distributed: each component keeps its MINIMUM-keyed incident sampled
-    edge (classic Boruvka min-edge rule — with distinct per-edge keys the
-    kept set is provably acyclic: the max-key edge of any would-be cycle is
-    picked by neither endpoint), labels merge via star contraction, and
-    forest edges accumulate as unioned DataFrames, never a Python list —
-    round 0 of a pass is O(n) samples, which must not transit the driver.
-    """
-    import math as _math
-
-    forest_parts: list[DataFrame] = []
-    groups_used = 0
-    comp_sketch = vid_sketches.withColumnRenamed("vid", "comp").localCheckpoint(
-        eager=True
-    )
-    # live-component count drives the batched pass schedule (same shape as
-    # _cc_rounds: 4 groups first pass, 2 after, reserve to 1 near the budget
-    # edge). The blob row decodes fully per sample anyway, so a j-group pass
-    # costs ONE scan instead of j — the dominant win for k-forest passes.
-    n_live = comp_sketch.count()
-    g = start_group
-    end = min(start_group + max_groups, params.rounds)
-    first = True
-    while g < end:
-        if n_live > collect_threshold:
-            # distributed rounds contract strictly sequentially — groups
-            # sampled at stale pass-start labels would be discarded, so
-            # spend one group per pass (n_samp <= n_live keeps this branch
-            # aligned with the star-contraction path below)
-            j = 1
-        else:
-            j = 4 if first else 2
-            if end - g <= _math.ceil(_math.log2(max(n_live, 2))) + 1:
-                j = 1
-        first = False
-        gs = list(range(g, min(g + j, end)))
-        g += len(gs)
-        groups_used += len(gs)
-        samples = sample_table_multi(comp_sketch, "comp", gs, params)
-        u_map = vmap.select(F.col("v").alias("u"), F.col("comp").alias("comp_u"))
-        v_map = vmap.select(F.col("v").alias("v2"), F.col("comp").alias("comp_v"))
-        resolved = (
-            samples.join(u_map, on="u")
-            .join(v_map, samples.v == v_map.v2)
-            .select("gi", "u", "v", "comp_u", "comp_v")
-            .where(F.col("comp_u") != F.col("comp_v"))
-            .localCheckpoint(eager=True)
-        )
-        n_samp = resolved.count()
-        if n_samp == 0:
-            if on_round is not None:
-                on_round(gs[0], 0, False)
-            break  # no component produced a cut edge: converged (or dry)
-        merged_any = False
-        n_merged = 0
-        if n_samp <= collect_threshold:
-            dsu = DSU()
-            touched: set[int] = set()
-            accepted: list[tuple[int, int]] = []
-            # group-then-canonical-edge sort: groups apply in consumption
-            # order and the accepted forest is deterministic, independent of
-            # collect partition order
-            for row in sorted(
-                resolved.collect(), key=lambda r: (r.gi, min(r.u, r.v), max(r.u, r.v))
-            ):
-                if dsu.union(row.comp_u, row.comp_v):
-                    touched.add(row.comp_u)
-                    touched.add(row.comp_v)
-                    accepted.append((min(row.u, row.v), max(row.u, row.v)))
-            merged_any = bool(accepted)
-            n_merged = len(accepted)
-            if merged_any:
-                forest_parts.append(
-                    spark.createDataFrame(
-                        _pd.DataFrame(
-                            {
-                                "a": _np_arr([e[0] for e in accepted]),
-                                "b": _np_arr([e[1] for e in accepted]),
-                            }
-                        )
-                    )
-                )
-                # remap includes absorbing roots mapping to themselves so
-                # their sketch rows enter the XOR-merge group
-                remap = [(c, dsu.find(c)) for c in sorted(touched)]
-                remap_df = F.broadcast(
-                    spark.createDataFrame(
-                        _pd.DataFrame(
-                            {
-                                "old_comp": _np_arr([r[0] for r in remap]),
-                                "new_comp": _np_arr([r[1] for r in remap]),
-                            }
-                        )
-                    )
-                )
-        else:
-            ek = resolved.select(
-                F.least("u", "v").alias("a"),
-                F.greatest("u", "v").alias("b"),
-                "comp_u",
-                "comp_v",
-            )
-            sym = ek.select(
-                F.col("comp_u").alias("c"), "a", "b", "comp_u", "comp_v"
-            ).unionAll(ek.select(F.col("comp_v").alias("c"), "a", "b", "comp_u", "comp_v"))
-            kept = (
-                sym.groupBy("c")
-                .agg(
-                    F.min_by(
-                        F.struct("a", "b", "comp_u", "comp_v"), F.struct("a", "b")
-                    ).alias("e")
-                )
-                .select("e.a", "e.b", "e.comp_u", "e.comp_v")
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
-            merged_any = True  # every sampled component keeps an edge
-            n_merged = kept.count()  # kept set is acyclic: one union per edge
-            forest_parts.append(kept.select("a", "b"))
-            changes = _star_contraction(
-                kept.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
-                num_partitions,
-            )
-            # star contraction omits roots (their label is the group min);
-            # add root self-maps so absorbing roots' sketch rows join the
-            # XOR-merge group — otherwise a merged component would keep TWO
-            # rows under one label
-            roots = changes.select(
-                F.col("new_comp").alias("old_comp"), F.col("new_comp").alias("new_comp")
-            ).distinct()
-            remap_df = changes.unionAll(roots).localCheckpoint(eager=True)
-        if on_round is not None:
-            on_round(gs[0], n_samp, merged_any)
-        n_live -= n_merged
-        if not merged_any:
-            continue
-        # remap ONLY this round's touched components; everything untouched
-        # passes through with ZERO shuffle — per-round merge traffic is
-        # O(components merged), which shrinks geometrically, not O(all
-        # supernodes).
-        joined = comp_sketch.join(
-            remap_df, comp_sketch.comp == remap_df.old_comp, "left"
-        )
-        unchanged = joined.where(F.col("new_comp").isNull()).select("comp", "sketch")
-        changed = joined.where(F.col("new_comp").isNotNull()).select(
-            F.col("new_comp").alias("comp"), "sketch"
-        )
-        comp_sketch = unchanged.unionAll(
-            xor_merge_by_key(changed, "comp", num_partitions)
-        ).localCheckpoint(eager=True)
-        vmap = (
-            vmap.join(remap_df, vmap.comp == remap_df.old_comp, "left")
-            .select("v", F.coalesce("new_comp", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-    if forest_parts:
-        forest = forest_parts[0]
-        for p in forest_parts[1:]:
-            forest = forest.unionAll(p)
-    else:
-        forest = spark.createDataFrame([], "a long, b long")
-    return vmap, forest, groups_used
 
 
 def _initial_vmap(und_edges: DataFrame) -> DataFrame:
@@ -514,7 +332,7 @@ def _forest_pass_slices(
     (only the consumed groups' columns ship), map-side partial XOR fold, one
     shuffle fusing the final fold with l0 sampling, driver DSU under
     collect_threshold / min-edge rule + star contraction above it. Unlike
-    the blob-table _boruvka_pass, component sketches are NEVER materialized
+    round 2's blob-table pass, component sketches are NEVER materialized
     or re-merged — every pass re-folds from the immutable vertex slices
     under the current labels, so per-pass traffic is O(n slice bytes + vmap)
     instead of O(live supernodes x full blob) (+ a full-blob checkpoint).
@@ -772,7 +590,7 @@ def k_spanning_forests(
     # remaining graph. cols=3 is the calibrated geometry. The earlier
     # 2*log2(n)+4 / cols=4 sizing doubled sketch bytes (and build + merge +
     # checkpoint traffic) for slack the census shows is never used; the
-    # reserve schedule + exhaustion warning in _boruvka_pass guard the tail.
+    # reserve schedule + exhaustion warning guard the tail.
     per_pass = lg + 6
     params = SketchParams(n=n, rounds=k * per_pass, cols=3, depths=lg + 4, seed=seed)
     # columnar slice layout, like the flagship CC path: built once, persisted

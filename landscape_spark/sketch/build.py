@@ -357,6 +357,37 @@ def sample_vertex_groups(
     return sel.mapInArrow(ms, "gi long, u long, v long")
 
 
+def sample_vertex_groups(
+    df: DataFrame, cols: list[str], sparams: SketchParams
+) -> DataFrame:
+    """Round-0 fast path: vertex slice rows are unique per vid and the
+    vid->comp map is the identity, so sampling needs NO fold, NO shuffle and
+    NO label joins — one scan emitting (gi, u, v) per (vertex, group) sample."""
+    sel = df.select(*cols)
+
+    def ms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            gis, us, vs = [], [], []
+            for gi, c in enumerate(cols):
+                rows = _binary_matrix(b.column(c))
+                ok, u, v = sample_group(rows, 0, sparams)
+                gis.append(np.full(int(ok.sum()), gi, dtype=np.int64))
+                us.append(u[ok])
+                vs.append(v[ok])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(gis), type=pa.int64()),
+                    pa.array(np.concatenate(us), type=pa.int64()),
+                    pa.array(np.concatenate(vs), type=pa.int64()),
+                ],
+                names=["gi", "u", "v"],
+            )
+
+    return sel.mapInArrow(ms, "gi long, u long, v long")
+
+
 def sample_table_multi(
     df: DataFrame, key: str, groups: list[int], params: SketchParams
 ) -> DataFrame:

@@ -28,7 +28,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from landscape_spark.sketch.build import build_sketch_table, xor_merge_by_key
+from landscape_spark.sketch.build import build_group_slices, xor_merge_slices
 from landscape_spark.sketch.l0 import SketchParams
 
 
@@ -72,14 +72,17 @@ class SketchStreamIngestor:
 
     def absorb_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
         """foreachBatch sink: XOR-merge this batch's sketch delta into state.
-        batch_df: columns (a, b) — canonical or not; both endpoints update."""
+        batch_df: columns (a, b) — canonical or not; both endpoints update.
+        State uses the COLUMNAR per-group slice layout (one binary column per
+        sketch group), so the parquet state file is column-prunable: each
+        in-stream Boruvka pass reads only the groups it consumes."""
         edges = batch_df.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         ).where(F.col("a") != F.col("b"))
-        delta = build_sketch_table(edges, self.params, self.num_partitions)
+        delta = build_group_slices(edges, self.params, self.num_partitions)
         cur = self.current_sketches()
-        merged = delta if cur is None else xor_merge_by_key(
-            cur.unionAll(delta), "vid", self.num_partitions
+        merged = delta if cur is None else xor_merge_slices(
+            cur.unionAll(delta), "vid", self.params, self.num_partitions
         )
         tmp = os.path.join(self.state_dir, "sketches_next")
         merged.write.mode("overwrite").parquet(tmp)
@@ -106,25 +109,31 @@ class SketchStreamIngestor:
 
     def query_components(self, n_vertices: int) -> DataFrame:
         """In-stream CC query on the committed sketch state (v, comp) for
-        edge-incident vertices. The micro-batch boundary is the flush barrier.
-        Results are cached until the next absorbed batch (GreedyCC)."""
-        from landscape_spark.sketch.boruvka import _boruvka_pass
+        edge-incident vertices: the SAME _cc_rounds machinery as the flagship
+        batch query (column-pruned passes straight off the parquet state, no
+        supernode rematerialization, driver DSU under threshold / star
+        contraction above). The micro-batch boundary is the flush barrier;
+        each query starts at group 0 — the state changed since the last
+        query, which is the reference's query-state reset (Q5). Results are
+        cached until the next absorbed batch (GreedyCC)."""
+        from landscape_spark.sketch.boruvka import _cc_rounds
 
         if self._cc_cache_version == self.batches_seen and self._cc_cache_vmap is not None:
             self.cc_cache_hits += 1
             return self._cc_cache_vmap
         self.cc_cache_misses += 1
-        sketches = self.current_sketches()
-        if sketches is None:
+        slices = self.current_sketches()
+        if slices is None:
             return self.spark.createDataFrame([], "v long, comp long")
-        vmap0 = sketches.select(F.col("vid").alias("v"), F.col("vid").alias("comp"))
-        vmap, _, _ = _boruvka_pass(
+        vmap0 = slices.select(
+            F.col("vid").alias("v"), F.col("vid").alias("comp")
+        ).localCheckpoint(eager=True)
+        vmap = _cc_rounds(
             self.spark,
-            sketches,
-            vmap0.localCheckpoint(eager=True),
+            slices,
+            vmap0,
             self.params,
             start_group=0,
-            max_groups=self.params.rounds,
             num_partitions=self.num_partitions,
         )
         vmap = vmap.localCheckpoint(eager=True)

@@ -106,8 +106,8 @@ def test_boruvka_pass_distributed_path_matches_exact(spark):
     acyclic spanning forest of the graph."""
     import random
 
-    from landscape_spark.sketch.boruvka import _boruvka_pass, _initial_vmap
-    from landscape_spark.sketch.build import build_sketch_table
+    from landscape_spark.sketch.boruvka import _forest_pass_slices
+    from landscape_spark.sketch.build import build_group_slices
     from landscape_spark.sketch.l0 import SketchParams
 
     rng = random.Random(13)
@@ -121,11 +121,12 @@ def test_boruvka_pass_distributed_path_matches_exact(spark):
     )
     e = spark.createDataFrame(edges, "a long, b long")
     params = SketchParams.for_graph(n, seed=3)
-    sk = build_sketch_table(e, params, num_partitions=4).localCheckpoint(eager=True)
-    vmap, forest, _ = _boruvka_pass(
+    slices = build_group_slices(e, params, num_partitions=4).localCheckpoint(
+        eager=True
+    )
+    vmap, forest, _ = _forest_pass_slices(
         spark,
-        sk,
-        _initial_vmap(e),
+        slices,
         params,
         start_group=0,
         max_groups=params.rounds,
