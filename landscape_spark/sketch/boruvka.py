@@ -12,13 +12,20 @@ The reference's query paths:
   k-edge-connectivity certificate (test /root/reference/test/k_connectivity_test.cpp:6-30).
 * point query (:211-258): root comparison on the cached DSU.
 
-Spark rendition: supernodes live in a DISTRIBUTED sketch table (the reference
-holds them all on rank 0 — its acknowledged ceiling, which this removes);
-samples per round are <= live components, joined to the vid->comp map and
-collected for driver DSU; remaps broadcast back; sketches XOR-merged by new
-component (bounded shuffle over geometrically-shrinking data). Each Boruvka
+Spark rendition: supernodes live in a DISTRIBUTED, IMMUTABLE columnar slice
+table — one binary column per sketch group, built once and never rewritten
+(the reference holds all supernodes on rank 0 — its acknowledged ceiling,
+which this removes). Every pass projects only the groups it consumes
+(column pruning), re-folds vertex slices under the current labels map-side,
+and fuses the final fold with l0 sampling in one shuffle; only the tiny
+vid->comp map updates per pass. Sampled component pairs merge via a driver
+DSU under COLLECT_THRESHOLD samples and via the distributed Boruvka
+min-edge rule + large-star/small-star contraction above it. Each Boruvka
 round consumes one sketch GROUP (one-shot sampling), so k-forest extraction
-budgets rounds_per_forest groups per pass via ``start_group``.
+budgets rounds_per_forest groups per pass via ``start_group``. The same
+machinery serves batch CC (_cc_rounds), k-forests (_forest_pass_slices),
+and the streaming in-stream queries (streaming/ingest reuses _cc_rounds on
+its slice-parquet state).
 
 Component labels are canonical min-vertex-ids — exactly comparable to the
 min-label SQL oracle.
