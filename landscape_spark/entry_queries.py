@@ -73,6 +73,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
 
 
+def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSR/treeAggregate SpMV PageRank (north-star required execution
+    shape). Same semantics as q_pagerank — it shares that oracle, so the
+    dense-regime path is hash-checked against DuckDB too, not just
+    pytest-equal to the join path."""
+    from landscape_spark.graph.csr import pagerank_csr
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    pr = pagerank_csr(spark, e, n, iters=PR_ITERS, damping=PR_DAMPING)
+    return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
+
+
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = linkgraph.undirected_edges(spark, sf_dir)
     verts = linkgraph.vertices(spark, sf_dir)
@@ -120,6 +133,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_sketch": q_cc_sketch,
     "cc_sizes": q_cc_sizes,
     "pagerank": q_pagerank,
+    "pagerank_csr": q_pagerank_csr,
     "lpa": q_lpa,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
@@ -351,6 +365,7 @@ SELECT comp, COUNT(*) AS comp_size FROM (
 ) GROUP BY comp
 """,
     "pagerank": _pagerank_sql(),
+    "pagerank_csr": _pagerank_sql(),
     "lpa": _lpa_sql(),
     "triangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}

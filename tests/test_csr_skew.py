@@ -17,14 +17,21 @@ def test_csr_blocks_cover_all_edges(spark, sf_small):
     e = linkgraph.directed_edges(spark, sf_small)
     m = e.count()
     csr = build_csr_blocks(e, num_partitions=4)
-    rows = csr.collect()
-    total = sum(len(r.indices) for r in rows)
+    rows = [
+        (
+            np.frombuffer(r.vids, dtype=np.int64),
+            np.frombuffer(r.indptr, dtype=np.int64),
+            np.frombuffer(r.indices, dtype=np.int64),
+        )
+        for r in csr.collect()
+    ]
+    total = sum(len(indices) for _, _, indices in rows)
     assert total == m
-    for r in rows:
-        assert len(r.indptr) == len(r.vids) + 1
-        assert r.indptr[-1] == len(r.indices)
-        # partition invariant: every src vid hashes to this partition's block
-        assert len(set(r.vids)) == len(r.vids)
+    for vids, indptr, indices in rows:
+        assert len(indptr) == len(vids) + 1
+        assert indptr[-1] == len(indices)
+        # partition invariant: every src vid appears once in its block
+        assert len(np.unique(vids)) == len(vids)
 
 
 def test_pagerank_csr_equals_join_pagerank(spark, sf_small):
