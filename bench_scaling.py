@@ -87,9 +87,16 @@ for _ in range(2):
     t0 = time.time()
     pagerank(ed, verts, n, iters=10).count()
     pr = min(pr, time.time() - t0)
+# the CSR/treeAggregate dense-regime variant, same graph (best-of-2)
+from landscape_spark.graph.csr import pagerank_csr
+pr_csr = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    pagerank_csr(spark, ed, n, iters=10).count()
+    pr_csr = min(pr_csr, time.time() - t0)
 print(json.dumps({"cpus": cpus, "updates": m_upd, "ingest_sec": ingest,
                   "rate": m_upd / ingest, "cc_sec": cc, "rounds": rounds,
-                  "ncomp": ncomp, "pr10_sec": pr}))
+                  "ncomp": ncomp, "pr10_sec": pr, "pr10_csr_sec": pr_csr}))
 spark.stop()
 """
 
@@ -204,6 +211,9 @@ def main() -> None:
     cc_effs = [
         (r[lo]["cc_sec"] / r[hi]["cc_sec"]) / (hi / lo) for r in reps_out
     ]
+    pr_csr_effs = [
+        (r[lo]["pr10_csr_sec"] / r[hi]["pr10_csr_sec"]) / (hi / lo) for r in reps_out
+    ]
     best_rep = max(range(reps), key=lambda i: ing_effs[i])
     results = reps_out[best_rep]
     speedup = results[hi]["rate"] / results[lo]["rate"]
@@ -218,6 +228,7 @@ def main() -> None:
         "levels": results, "best_rep": best_rep, "reps": reps,
         "ingest_eff_per_rep": [round(x, 3) for x in ing_effs],
         "pagerank_eff_per_rep": [round(x, 3) for x in pr_effs],
+        "pagerank_csr_eff_per_rep": [round(x, 3) for x in pr_csr_effs],
         "cc_eff_per_rep": [round(x, 3) for x in cc_effs],
         "ingest_speedup": round(speedup, 3), "ingest_scaling_efficiency": round(eff, 3),
         "ingest_scaling_efficiency_median": round(med(ing_effs), 3),
@@ -242,14 +253,15 @@ engine).
 
 Best paired rep (rep {best_rep}):
 
-| level | ingest rate (upd/s) | ingest sec | CC query sec | PR 10-iter sec |
-|---|---|---|---|---|
-| local[{lo}] | {results[lo]['rate']:.0f} | {results[lo]['ingest_sec']:.2f} | {results[lo]['cc_sec']:.2f} | {results[lo]['pr10_sec']:.2f} |
-| local[{hi}] | {results[hi]['rate']:.0f} | {results[hi]['ingest_sec']:.2f} | {results[hi]['cc_sec']:.2f} | {results[hi]['pr10_sec']:.2f} |
+| level | ingest rate (upd/s) | ingest sec | CC query sec | PR 10-iter sec | PR-CSR 10-iter sec |
+|---|---|---|---|---|---|
+| local[{lo}] | {results[lo]['rate']:.0f} | {results[lo]['ingest_sec']:.2f} | {results[lo]['cc_sec']:.2f} | {results[lo]['pr10_sec']:.2f} | {results[lo]['pr10_csr_sec']:.2f} |
+| local[{hi}] | {results[hi]['rate']:.0f} | {results[hi]['ingest_sec']:.2f} | {results[hi]['cc_sec']:.2f} | {results[hi]['pr10_sec']:.2f} | {results[hi]['pr10_csr_sec']:.2f} |
 
 **Ingest speedup {lo}->{hi} cores: {speedup:.2f}x, scaling efficiency {eff:.3f}
 (per-rep: {report['ingest_eff_per_rep']}, median {report['ingest_scaling_efficiency_median']:.3f})**
 PageRank efficiency per rep: {report['pagerank_eff_per_rep']}
+PageRank-CSR efficiency per rep: {report['pagerank_csr_eff_per_rep']}
 CC-query efficiency per rep: {report['cc_eff_per_rep']}
 **Kernel-phase (sketch-delta compute, independent executor processes):
 {kern_speedup:.2f}x, scaling efficiency {kern_eff:.3f}**

@@ -78,6 +78,7 @@ def pagerank_csr(
     damping: float = 0.85,
     num_partitions: int = 32,
     tree_depth: int = 2,
+    dense_threshold: int = 100_000_000,
 ) -> DataFrame:
     """PageRank over CSR blocks: mapPartitions SpMV + treeAggregate partial
     sums. Returns (v, pr_score) for ALL n vertices.
@@ -99,6 +100,12 @@ def pagerank_csr(
     both are tested equal.
     """
     n = n_vertices
+    if n > dense_threshold or edges.count() > dense_threshold:
+        raise ValueError(
+            "pagerank_csr is the dense-vector-regime path (driver/executor "
+            "copies of the packed CSR); above dense_threshold use "
+            "landscape_spark.graph.pagerank, the fully-distributed join path"
+        )
     sc = spark.sparkContext
     rows = build_csr_blocks(edges, num_partitions).collect()
     blocks = [

@@ -47,6 +47,15 @@ def test_pagerank_csr_equals_join_pagerank(spark, sf_small):
         assert a[v] == pytest.approx(b[v], abs=1e-12)
 
 
+def test_pagerank_csr_dense_regime_guard(spark, sf_small):
+    """Above dense_threshold the CSR path refuses (driver-resident CSR is
+    the dense-vector regime only); the join path is the scale path."""
+    e = linkgraph.directed_edges(spark, sf_small)
+    n = linkgraph.num_vertices(spark, sf_small)
+    with pytest.raises(ValueError, match="dense"):
+        pagerank_csr(spark, e, n, iters=1, dense_threshold=1)
+
+
 def test_salted_build_bit_identical(spark):
     """Salted (two-phase) sketch build == unsalted build, bit for bit —
     linearity makes skew handling semantics-free."""
