@@ -35,11 +35,23 @@ def pagerank(
     iters: int = 20,
     damping: float = 0.85,
     tol: float | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    start_ranks: DataFrame | None = None,
+    start_iter: int = 0,
 ) -> DataFrame:
     """Return (v, pr_score) after ``iters`` synchronous power iterations
     (or earlier if ``tol`` given and max |delta| < tol).
 
     edges: directed distinct (src, dst). vertices: (v), dense 0..N-1.
+
+    checkpoint_dir enables durable per-iteration checkpoints (north rule:
+    resumable from checkpoint with per-partition lineage + metrics): every
+    ``checkpoint_every`` iterations the rank table lands as parquet plus a
+    lineage JSON via checkpoint.RoundCheckpointer. ``resume_pagerank``
+    restarts from the latest saved iteration; ``start_ranks``/``start_iter``
+    are its hooks (a caller-provided rank table with columns
+    (v, r, is_dang) and the iteration it corresponds to).
     """
     n = float(n_vertices)
     spark = edges.sparkSession
@@ -65,11 +77,22 @@ def pagerank(
         .select("v", F.col("_o").isNull().alias("is_dang"))
         .localCheckpoint(eager=True)
     )
-    ranks = vstate.select("v", F.lit(1.0 / n).alias("r"), "is_dang").localCheckpoint(
-        eager=True
-    )
+    if start_ranks is not None:
+        ranks = start_ranks.select("v", "r", "is_dang").localCheckpoint(eager=True)
+    else:
+        ranks = vstate.select(
+            "v", F.lit(1.0 / n).alias("r"), "is_dang"
+        ).localCheckpoint(eager=True)
 
-    for _ in range(iters):
+    ckpt = None
+    if checkpoint_dir is not None:
+        from landscape_spark.checkpoint import RoundCheckpointer
+
+        ckpt = RoundCheckpointer(spark, checkpoint_dir, "pagerank")
+
+    import time as _time
+
+    for _it in range(start_iter, iters):
         contrib = (
             ew.join(ranks, ew.src == ranks.v)
             .select(F.col("dst").alias("v"), (F.col("r") / F.col("out_deg")).alias("c"))
@@ -110,5 +133,53 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+        if ckpt is not None and (_it + 1) % checkpoint_every == 0:
+            _t0 = _time.time()
+            ckpt.save_round(
+                _it + 1,
+                {"ranks": ranks},
+                state={
+                    "iteration": _it + 1,
+                    "iters_total": iters,
+                    "n_vertices": n_vertices,
+                    "damping": damping,
+                },
+                metrics={"iter_wall_ts": _t0},
+            )
     ew.unpersist()
     return ranks.select("v", F.col("r").alias("pr_score"))
+
+
+def resume_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    n_vertices: int,
+    checkpoint_dir: str,
+    iters: int = 20,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Continue PageRank from the latest durable checkpoint under
+    ``checkpoint_dir`` (written by pagerank(..., checkpoint_dir=...)); the
+    remaining iterations produce results identical to an uninterrupted run
+    because the saved rank table is the loop's entire cross-iteration
+    state. Raises if no checkpoint exists."""
+    from landscape_spark.checkpoint import RoundCheckpointer
+
+    spark = edges.sparkSession
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, "pagerank")
+    latest = ckpt.latest_round()
+    if latest is None:
+        raise ValueError(f"no pagerank checkpoint under {checkpoint_dir}")
+    dfs, lineage = ckpt.load_round(latest)
+    return pagerank(
+        edges,
+        vertices,
+        n_vertices,
+        iters=iters,
+        damping=lineage["state"].get("damping", damping),
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        start_ranks=dfs["ranks"],
+        start_iter=int(lineage["state"]["iteration"]),
+    )

@@ -34,3 +34,36 @@ def test_pagerank_dangling_uniform(spark):
     oracle = pagerank_oracle([(2, 0), (2, 1)], 3)
     for k in range(3):
         assert got[k] == pytest.approx(oracle[k], abs=1e-6)
+
+
+def test_pagerank_checkpoint_resume(spark, sf_small, tmp_path):
+    """Kill-and-resume parity (north rule: resumable from checkpoint with
+    per-partition lineage): 4 iterations with durable checkpoints, then
+    resume_pagerank to 10, equals an uninterrupted 10-iteration run."""
+    import json
+    import os
+
+    from landscape_spark.graph.pagerank import resume_pagerank
+
+    e = linkgraph.directed_edges(spark, sf_small)
+    n = linkgraph.num_vertices(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    ckdir = str(tmp_path / "pr_ck")
+
+    # "crash" after 4 iterations (checkpoints land at 2 and 4)
+    pagerank(e, verts, n, iters=4, checkpoint_dir=ckdir, checkpoint_every=2).count()
+    lineage_path = os.path.join(ckdir, "pagerank", "round=4", "lineage.json")
+    with open(lineage_path) as f:
+        lineage = json.load(f)
+    assert lineage["state"]["iteration"] == 4
+    assert lineage["tables"]["ranks"]["rows"] == n
+    assert sum(lineage["tables"]["ranks"]["partition_rows"]) == n
+
+    resumed = {
+        r.v: r.pr_score
+        for r in resume_pagerank(e, verts, n, ckdir, iters=10).collect()
+    }
+    straight = {r.v: r.pr_score for r in pagerank(e, verts, n, iters=10).collect()}
+    assert set(resumed) == set(straight)
+    for v in resumed:
+        assert resumed[v] == pytest.approx(straight[v], abs=1e-12)
