@@ -79,14 +79,24 @@ def main() -> None:
     # CC query latency on the ingested sketches (algorithm phase only —
     # flush phase is the build above, mirroring the reference's split)
     rounds_used = [0]
-    t0 = time.time()
-    vmap0 = slices.select(F.col("vid").alias("v"), F.col("vid").alias("comp"))
-    vmap = _cc_rounds(
-        spark, slices, vmap0.localCheckpoint(eager=True), params, 0, max(8, cpus),
-        on_round=lambda g, s, m: rounds_used.__setitem__(0, g + 1),
-    )
-    n_comp = vmap.select("comp").distinct().count()
-    cc_alg_sec = time.time() - t0
+    comp_box = [0]
+
+    def run_cc_query():
+        vmap0 = slices.select(F.col("vid").alias("v"), F.col("vid").alias("comp"))
+        vmap = _cc_rounds(
+            spark, slices, vmap0.localCheckpoint(eager=True), params, 0, max(8, cpus),
+            on_round=lambda g, s, m: rounds_used.__setitem__(0, g + 1),
+        )
+        comp_box[0] = vmap.select("comp").distinct().count()
+
+    # best-of-2 (stateless over the immutable slices — each run consumes the
+    # same groups from the same persisted table)
+    cc_alg_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_cc_query()
+        cc_alg_sec = min(cc_alg_sec, time.time() - t0)
+    n_comp = comp_box[0]
     queries["cc_sketch_query"] = round(cc_alg_sec, 3)
     log(f"[cc_sketch] {n_comp} components, {rounds_used[0]} rounds, {cc_alg_sec:.2f}s")
 
@@ -104,54 +114,65 @@ def main() -> None:
     from landscape_spark.graph.pagerank import pagerank
     from landscape_spark.graph.triangles import triangle_count
 
-    t0 = time.time()
-    connected_components_exact(e_und, verts).count()
-    queries["cc_exact"] = round(time.time() - t0, 3)
+    def best_of(fn, reps):
+        """Min-time over reps — the noise-robust capability statistic on
+        this bursty-steal host (a single shot absorbs whole steal bursts;
+        the round-2 'regression' was exactly one polluted single-shot)."""
+        t = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            t = min(t, time.time() - t0)
+        return round(t, 3)
 
-    # best-of-3 min-time, like ingest: a single shot is polluted by host CPU
-    # steal bursts (the round-2 "regression" was exactly that — one unlucky
-    # single-shot record published unflagged)
+    queries["cc_exact"] = best_of(
+        lambda: connected_components_exact(e_und, verts).count(), 2
+    )
+
     pr_iters = 10
-    pr_sec = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        pagerank(e_dir, verts, n, iters=pr_iters).count()
-        pr_sec = min(pr_sec, time.time() - t0)
-    queries["pagerank_10iter"] = round(pr_sec, 3)
-    pr_iter_sec = pr_sec / pr_iters
+    queries["pagerank_10iter"] = best_of(
+        lambda: pagerank(e_dir, verts, n, iters=pr_iters).count(), 3
+    )
+    pr_iter_sec = queries["pagerank_10iter"] / pr_iters
 
     # the CSR/treeAggregate SpMV variant (dense-vector regime fast path)
     from landscape_spark.graph.csr import pagerank_csr
 
-    pr_csr_sec = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        pagerank_csr(spark, e_dir, n, iters=pr_iters, num_partitions=max(8, cpus)).count()
-        pr_csr_sec = min(pr_csr_sec, time.time() - t0)
-    queries["pagerank_csr_10iter"] = round(pr_csr_sec, 3)
+    queries["pagerank_csr_10iter"] = best_of(
+        lambda: pagerank_csr(
+            spark, e_dir, n, iters=pr_iters, num_partitions=max(8, cpus)
+        ).count(),
+        2,
+    )
 
-    t0 = time.time()
-    label_propagation(e_und, verts, iters=5).count()
-    queries["lpa_5iter"] = round(time.time() - t0, 3)
+    queries["lpa_5iter"] = best_of(
+        lambda: label_propagation(e_und, verts, iters=5).count(), 2
+    )
 
-    t0 = time.time()
-    tri = triangle_count(e_und).first()[0]
-    queries["triangle_count"] = round(time.time() - t0, 3)
-    log(f"[triangles] {tri}")
+    tri_box = [0]
+    queries["triangle_count"] = best_of(
+        lambda: tri_box.__setitem__(0, triangle_count(e_und).first()[0]), 2
+    )
+    log(f"[triangles] {tri_box[0]}")
 
     # k-forest certificate run with peak-RSS sampling (the reference's
     # max-RSS metric for this experiment, cluster_k_connect_expr.cpp:124)
     from landscape_spark.metrics import PeakRssSampler
     from landscape_spark.sketch.boruvka import k_spanning_forests
 
+    kf_box = [0]
     with PeakRssSampler(interval=0.2) as rss:
-        t0 = time.time()
-        kf_edges = k_spanning_forests(
-            spark, e_und, n, k=2, seed=42, num_partitions=max(8, cpus)
-        ).count()
-        queries["k_spanning_forests_k2"] = round(time.time() - t0, 3)
+        queries["k_spanning_forests_k2"] = best_of(
+            lambda: kf_box.__setitem__(
+                0,
+                k_spanning_forests(
+                    spark, e_und, n, k=2, seed=42, num_partitions=max(8, cpus)
+                ).count(),
+            ),
+            2,
+        )
     kforest_max_rss_mib = round(rss.peak_mib, 1)
-    log(f"[kforest] {kf_edges} forest edges, max_rss={kforest_max_rss_mib} MiB")
+    log(f"[kforest] {kf_box[0]} forest edges, max_rss={kforest_max_rss_mib} MiB")
 
     # ------------------------------------------------------------------
     # 3. Training-data pipeline ops on documents/embeddings
