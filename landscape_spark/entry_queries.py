@@ -221,12 +221,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot LSH top-k: the inline (uncached) path — prebuilding cached
+    signature tables only pays off across REPEATED queries, and a cached
+    table a gate run never reuses is a per-invocation executor-memory leak.
+    The reuse API (lsh_signature_tables + sigs=) is exercised and
+    equality-tested in tests/test_ann.py."""
     from landscape_spark.sim import ann
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
-    sigs = ann.lsh_signature_tables(emb, n_planes=8, n_tables=6)
-    return ann.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6, sigs=sigs)
+    return ann.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

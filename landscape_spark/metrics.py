@@ -79,9 +79,12 @@ def _proc_rss_mib(pid: int) -> float:
     return 0.0
 
 
-def _descendant_pids(root: int, depth: int = 2) -> list[int]:
-    """Child (and grandchild) PIDs via /proc ppid scan — the py4j-launched
-    JVM is a direct child of the driver, its Python UDF workers one below."""
+def _descendant_pids(root: int, depth: int = 4) -> list[int]:
+    """Descendant PIDs via /proc ppid scan, ``depth`` generations deep.
+    The full local-mode tree is driver -> JVM -> pyspark.daemon -> UDF
+    workers (depth 3) — the workers hold the numpy kernel allocations, so a
+    depth-2 scan (the original default) missed the processes with the
+    largest RSS and under-reported peaks; depth 4 adds one spare level."""
     by_parent: dict[int, list[int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():

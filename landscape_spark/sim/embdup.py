@@ -79,20 +79,83 @@ def embedding_near_dup_exact(emb: DataFrame, threshold: float = 0.35) -> DataFra
     )
 
 
+def tune_hyperplane_geometry(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_tables: int = 64,
+) -> tuple[int, int, float]:
+    """(n_planes, n_tables, recall_at_threshold) minimizing random-pair
+    candidate admission subject to recall >= target_recall AT the threshold.
+
+    Hyperplane-LSH per-plane collision for cosine t is p = 1 - arccos(t)/pi;
+    a k-plane table collides w.p. p^k and L tables give recall
+    1-(1-p^k)^L, while a RANDOM pair (cosine ~0, p=1/2) is admitted w.p.
+    1-(1-2^-k)^L. Low thresholds sit in hyperplane LSH's unselective regime
+    (t=0.35 -> p=0.614: even the best feasible geometry admits ~half of all
+    pairs) — callers get a RuntimeWarning from embedding_near_dup_lsh when
+    that happens and should use the exact path or raise the threshold."""
+    import math
+
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    best = None
+    for k in range(16, 1, -1):
+        pk = p**k
+        if pk <= 0 or pk >= 1:
+            continue
+        need = math.log(max(1.0 - target_recall, 1e-12)) / math.log(1.0 - pk)
+        L = int(math.ceil(need))
+        if L < 1 or L > max_tables:
+            continue
+        f_random = 1.0 - (1.0 - 0.5**k) ** L
+        recall = 1.0 - (1.0 - pk) ** L
+        if best is None or f_random < best[3]:
+            best = (k, L, recall, f_random)
+    if best is None:  # even 2 planes can't reach the target within the cap
+        return 2, max_tables, 1.0 - (1.0 - p**2) ** max_tables
+    return best[0], best[1], best[2]
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.35,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Scale path: same-bucket candidate pairs from n_tables hyperplane-LSH
     tables, exact JVM cosine rescore of candidates only. Candidate volume is
-    ~N^2/2^planes per table instead of N^2; recall vs exact is measured in
-    tests (hyperplane LSH collision prob = 1 - theta/pi per plane, so
-    low-cosine thresholds need more tables — tune n_tables to the target
-    threshold's recall)."""
+    ~N^2/2^planes per table instead of N^2.
+
+    Geometry is threshold-aware by default (tune_hyperplane_geometry,
+    recall >= 0.9 at the threshold boundary; higher-cosine pairs recall
+    better). The pre-round-3 fixed default (8 planes x 8 tables) had ~15%
+    recall for pairs AT threshold 0.35 — passing explicit n_planes/n_tables
+    still pins the geometry, but the auto-tuned path warns when the
+    threshold is in hyperplane LSH's unselective regime (low cosine: the
+    plane test barely separates threshold pairs from random ones) instead
+    of silently dropping near-threshold pairs."""
+    import warnings
+
+    if n_planes is None or n_tables is None:
+        k, L, recall = tune_hyperplane_geometry(threshold)
+        n_planes = n_planes or k
+        n_tables = n_tables or L
+        import math
+
+        p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+        f_random = 1.0 - (1.0 - 0.5**n_planes) ** n_tables
+        if recall < 0.9 or f_random > 0.25:
+            warnings.warn(
+                f"threshold {threshold} is in hyperplane LSH's unselective "
+                f"regime (per-plane collision {p:.2f}): best geometry "
+                f"{n_planes} planes x {n_tables} tables gives recall "
+                f"{recall:.2f} at the threshold while admitting "
+                f"{f_random:.0%} of random pairs — use the exact path or an "
+                "IVF-blocked variant for low-cosine mining",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     cands = None
     for t in range(n_tables):
         sigs = hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)

@@ -313,14 +313,22 @@ def _cc_rounds(
             converged = True
             break
     if not converged and n_live > 1:
-        _warnings.warn(
-            f"sketch group budget exhausted after {params.rounds} groups with "
-            f"{n_live} components still live — the returned map may be "
-            "under-merged; raise SketchParams.rounds (extra_rounds) or check "
-            "the sampling-failure census calibration",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        # n_live is an upper bound (after a resume it starts from the vertex
+        # count), so confirm with the exact distinct-component count before
+        # alarming — a connected graph that finished on the last budgeted
+        # group is NOT under-merged
+        n_true = vmap.select("comp").distinct().count()
+        if n_true > 1:
+            _warnings.warn(
+                f"sketch group budget exhausted after {params.rounds} groups "
+                f"with {n_true} components live and no group left for an "
+                "empty-sample confirm pass — the returned map is UNCONFIRMED "
+                "(it may be complete if the graph is disconnected, or "
+                "under-merged); raise SketchParams.rounds (extra_rounds) or "
+                "check the sampling-failure census calibration",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return vmap
 
 
@@ -359,6 +367,7 @@ def _forest_pass_slices(
     g = start_group
     end = min(start_group + max_groups, params.rounds)
     first = True
+    last_n_samp = 0
     while g < end and n_live > 1:
         if n_live > collect_threshold:
             j = 1  # distributed rounds contract strictly sequentially
@@ -407,6 +416,7 @@ def _forest_pass_slices(
         first = False
         resolved = resolved.localCheckpoint(eager=True)
         n_samp = resolved.count()
+        last_n_samp = n_samp
         if n_samp == 0:
             break  # no live component holds a cut edge: forest complete
         n_merged = 0
@@ -484,6 +494,21 @@ def _forest_pass_slices(
             .localCheckpoint(eager=True)
         )
         n_live -= n_merged
+    if g >= end and n_live > 1 and last_n_samp > 0:
+        # same guard _cc_rounds grew: the pass budget ran out while the last
+        # sample round still surfaced cut edges, so the forest was never
+        # CONFIRMED maximal by an empty-sample pass — a silently-truncated
+        # forest would make the k-edge-connectivity certificate wrong
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"forest pass exhausted its {max_groups}-group budget with "
+            f"~{n_live} components live and cut edges still sampled — the "
+            "extracted forest is UNCONFIRMED (may be non-maximal); raise the "
+            "per-pass budget or check the sampling-failure census",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if forest_parts:
         forest = forest_parts[0]
         for p in forest_parts[1:]:
@@ -631,12 +656,20 @@ def k_spanning_forests(
         from landscape_spark.sketch.build import xor_merge_slices
 
         delta = build_group_slices(forest, params, num_partitions)
+        # persist (MEMORY_AND_DISK), not localCheckpoint: the columnar cache
+        # prunes to each pass's consumed group columns, which checkpointed
+        # row blocks cannot. The lineage chains at most k-1 merges — under
+        # memory pressure partitions SPILL rather than recompute, and only
+        # executor loss pays the O(k)-deep recompute (k <= 8 here; a
+        # cluster run wanting durability swaps this persist for the
+        # streaming path's parquet state swap).
         new_slices = xor_merge_slices(
             slices.unionAll(delta), "vid", params, num_partitions
         ).persist()
         new_slices.count()
         slices.unpersist()
         slices = new_slices
+    slices.unpersist()  # forests are checkpointed — nothing below reads slices
     if not forests:
         return spark.createDataFrame([], "forest_id int, a long, b long")
     out = forests[0]

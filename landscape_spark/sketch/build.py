@@ -355,93 +355,3 @@ def sample_vertex_groups(
             )
 
     return sel.mapInArrow(ms, "gi long, u long, v long")
-
-
-def sample_vertex_groups(
-    df: DataFrame, cols: list[str], sparams: SketchParams
-) -> DataFrame:
-    """Round-0 fast path: vertex slice rows are unique per vid and the
-    vid->comp map is the identity, so sampling needs NO fold, NO shuffle and
-    NO label joins — one scan emitting (gi, u, v) per (vertex, group) sample."""
-    sel = df.select(*cols)
-
-    def ms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            gis, us, vs = [], [], []
-            for gi, c in enumerate(cols):
-                rows = _binary_matrix(b.column(c))
-                ok, u, v = sample_group(rows, 0, sparams)
-                gis.append(np.full(int(ok.sum()), gi, dtype=np.int64))
-                us.append(u[ok])
-                vs.append(v[ok])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(gis), type=pa.int64()),
-                    pa.array(np.concatenate(us), type=pa.int64()),
-                    pa.array(np.concatenate(vs), type=pa.int64()),
-                ],
-                names=["gi", "u", "v"],
-            )
-
-    return sel.mapInArrow(ms, "gi long, u long, v long")
-
-
-def sample_table_multi(
-    df: DataFrame, key: str, groups: list[int], params: SketchParams
-) -> DataFrame:
-    """Per-row l0 samples from SEVERAL sketch groups in one scan: (key, gi,
-    u, v) with gi the index into ``groups``. The blob layout decodes the full
-    row anyway, so sampling j groups costs one decode + j cheap column scans
-    — j-times fewer Spark jobs than j sample_table calls (the blob-table
-    analog of _cc_rounds' batched passes)."""
-    gs = list(groups)
-
-    def sample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            keys = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            rows = _binary_matrix(b.column("sketch"))
-            ks, gis, us, vs = [], [], [], []
-            for gi, g in enumerate(gs):
-                ok, u, v = sample_group(rows, g, params)
-                ks.append(keys[ok])
-                gis.append(np.full(int(ok.sum()), gi, dtype=np.int64))
-                us.append(u[ok])
-                vs.append(v[ok])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(ks), type=pa.int64()),
-                    pa.array(np.concatenate(gis), type=pa.int64()),
-                    pa.array(np.concatenate(us), type=pa.int64()),
-                    pa.array(np.concatenate(vs), type=pa.int64()),
-                ],
-                names=[key, "gi", "u", "v"],
-            )
-
-    return df.mapInArrow(sample, f"{key} long, gi long, u long, v long")
-
-
-def sample_table(df: DataFrame, key: str, group: int, params: SketchParams) -> DataFrame:
-    """Per-row l0 sample from sketch group ``group``. Returns (key, u, v)
-    for rows whose sample succeeded, plus live flag counts handled upstream."""
-
-    def sample(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            keys = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            rows = _binary_matrix(b.column("sketch"))
-            ok, u, v = sample_group(rows, group, params)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(keys[ok], type=pa.int64()),
-                    pa.array(u[ok], type=pa.int64()),
-                    pa.array(v[ok], type=pa.int64()),
-                ],
-                names=[key, "u", "v"],
-            )
-
-    return df.mapInArrow(sample, f"{key} long, u long, v long")
