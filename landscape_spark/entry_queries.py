@@ -212,6 +212,22 @@ def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embdup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked near-dup pairs — the scale path for LOW-cosine thresholds
+    (hyperplane LSH is unselective there; embedding_near_dup_lsh warns and
+    routes here). Rows-only in the gate (k-means cells are not
+    SQL-expressible); precision is 1.0 by exact rescore and recall is
+    measured on planted moderate-cosine pairs in tests/test_ann.py."""
+    from landscape_spark.sim.embdup import embedding_near_dup_ivf
+
+    return embedding_near_dup_ivf(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.35,
+        n_cells=16,
+        nprobe=4,
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.sim import ann
 
@@ -252,6 +268,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
     "dedup_embedding_cosine": q_embdup,
+    "dedup_embedding_ivf": q_embdup_ivf,  # rows-only: k-means blocking
     "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
     "ann_cosine_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,  # rows-only: approximate by design

@@ -34,12 +34,19 @@ def embedding_near_dup_pairs(
     broadcast_threshold: int = BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """(id_lo, id_hi, sim): all vector pairs with ROUND(cosine, 6) >=
-    threshold, id_lo < id_hi. Exact under broadcast_threshold rows; LSH
-    candidates + exact rescore above it."""
+    threshold, id_lo < id_hi. Exact under broadcast_threshold rows; above
+    it, hyperplane-LSH candidates + exact rescore for high-cosine
+    thresholds, IVF cell blocking for low-cosine ones (where hyperplane
+    collision barely separates threshold pairs from random — see
+    tune_hyperplane_geometry)."""
     n = emb.count()
     if n <= broadcast_threshold:
         return embedding_near_dup_exact(emb, threshold)
-    return embedding_near_dup_lsh(emb, threshold)
+    k, L, recall = tune_hyperplane_geometry(threshold)
+    f_random = 1.0 - (1.0 - 0.5**k) ** L
+    if recall < 0.9 or f_random > 0.25:
+        return embedding_near_dup_ivf(emb, threshold)
+    return embedding_near_dup_lsh(emb, threshold, n_planes=k, n_tables=L)
 
 
 def embedding_near_dup_exact(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
@@ -151,8 +158,8 @@ def embedding_near_dup_lsh(
                 f"regime (per-plane collision {p:.2f}): best geometry "
                 f"{n_planes} planes x {n_tables} tables gives recall "
                 f"{recall:.2f} at the threshold while admitting "
-                f"{f_random:.0%} of random pairs — use the exact path or an "
-                "IVF-blocked variant for low-cosine mining",
+                f"{f_random:.0%} of random pairs — use embedding_near_dup_ivf "
+                "(IVF cell blocking) or the exact path for low-cosine mining",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -168,6 +175,12 @@ def embedding_near_dup_lsh(
         )
         cands = c if cands is None else cands.unionAll(c)
     cands = cands.distinct()
+    return _rescore_pairs(emb, cands, threshold)
+
+
+def _rescore_pairs(emb: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact JVM cosine of candidate (id_lo, id_hi) pairs, thresholded on the
+    ROUNDED value (oracle parity with the exact path)."""
     lo = emb.select(F.col("vec_id").alias("id_lo"), F.col("embedding").alias("ev_lo"))
     hi = emb.select(F.col("vec_id").alias("id_hi"), F.col("embedding").alias("ev_hi"))
     sim = F.round(
@@ -184,6 +197,84 @@ def embedding_near_dup_lsh(
         .select("id_lo", "id_hi", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def ivf_multi_assign(
+    emb: DataFrame, cents, nprobe: int = 4
+) -> DataFrame:
+    """(vec_id, cell): each vector assigned to its ``nprobe`` NEAREST cells
+    (multi-probe blocking — single-cell assignment splits a near-dup pair
+    whenever it straddles a Voronoi boundary; probing the nprobe nearest
+    cells makes boundary pairs share at least one block w.h.p.)."""
+    import pyarrow as pa
+
+    from landscape_spark.sim.ann import _emb_matrix
+
+    sc = emb.sparkSession.sparkContext
+    b = sc.broadcast(np.asarray(cents, dtype=np.float64))
+    npb = int(nprobe)
+
+    def assign(batches):
+        c = b.value
+        k = min(npb, c.shape[0])
+        for bt in batches:
+            if bt.num_rows == 0:
+                continue
+            ids = bt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _emb_matrix(bt.column("embedding"))
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ c.T
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k].astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, k), type=pa.int64()),
+                    pa.array(top.reshape(-1), type=pa.int64()),
+                ],
+                names=["vec_id", "cell"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id long, cell long"
+    )
+
+
+def embedding_near_dup_ivf(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-blocked near-dup pairs — the scale path for LOW-cosine thresholds
+    where hyperplane LSH is unselective (embedding_near_dup_lsh warns and
+    points here; hyperplane collision at cosine 0.35 barely separates
+    threshold pairs from random ones, while coarse k-means cells block by
+    REGION of the sphere).
+
+    Plan: deterministic distributed Lloyd k-means (ann.ivf_train_centroids),
+    each vector multi-assigned to its nprobe nearest cells, candidates =
+    pairs sharing any cell (one self-join on cell — never a cross join),
+    exact JVM cosine rescore of candidates only. Candidate mass is
+    ~ sum_cells |cell|^2 ~ N^2 * nprobe^2 / n_cells for balanced cells: size
+    n_cells to the corpus (n_cells ~ N / target_cell_size keeps cells
+    rescoreable) — with n_cells growing with N the per-cell join stays
+    bounded, which is the standard IVF scaling story. Recall vs the exact
+    path is measured in tests on planted moderate-cosine pairs."""
+    from landscape_spark.sim.ann import ivf_train_centroids
+
+    cents = ivf_train_centroids(emb, n_cells=n_cells, iters=iters, dim=dim, seed=seed)
+    assigned = ivf_multi_assign(emb, cents, nprobe=nprobe)
+    a = assigned.select(F.col("vec_id").alias("id_lo"), "cell")
+    bb = assigned.select(F.col("vec_id").alias("id_hi"), "cell")
+    cands = (
+        a.join(bb, on="cell")
+        .where(F.col("id_lo") < F.col("id_hi"))
+        .select("id_lo", "id_hi")
+        .distinct()
+    )
+    return _rescore_pairs(emb, cands, threshold)
 
 
 def embedding_near_dup_sql(threshold: float = 0.35) -> str:

@@ -230,3 +230,61 @@ def test_embedding_near_dup_lsh_recall_planted(spark):
     assert got <= truth  # exact rescore => precision 1.0
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"embedding LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_ivf_recall_planted_low_cosine(spark):
+    """The IVF-blocked path is the scale route for LOW-cosine thresholds
+    (hyperplane LSH is unselective there — embedding_near_dup_lsh warns and
+    points here). Planted pairs at cosine ~0.6 must be recovered through
+    multi-probe cell blocking + exact rescore."""
+    from landscape_spark.sim import embdup
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    rows = []
+    for g in range(12):  # planted pairs at cosine ~0.6
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        noise = rng.normal(size=dim)
+        noise -= (noise @ base) * base  # orthogonal component
+        noise /= np.linalg.norm(noise)
+        v = 0.6 * base + 0.8 * noise  # exact cosine 0.6 with base
+        rows.append((2 * g, base.astype(float).tolist()))
+        rows.append((2 * g + 1, (v / np.linalg.norm(v)).astype(float).tolist()))
+    for i in range(24, 424):
+        v = rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {
+        (r.id_lo, r.id_hi)
+        for r in embdup.embedding_near_dup_exact(emb_df, threshold=0.55).collect()
+    }
+    assert truth >= {(2 * g, 2 * g + 1) for g in range(12)}
+    got = {
+        (r.id_lo, r.id_hi)
+        for r in embdup.embedding_near_dup_ivf(
+            emb_df, threshold=0.55, n_cells=16, nprobe=4
+        ).collect()
+    }
+    assert got <= truth  # exact rescore => precision 1.0
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"embedding IVF recall too low: {recall}"
+
+
+def test_embedding_near_dup_lsh_low_threshold_warns(spark):
+    """Auto-tuned LSH at a low-cosine threshold must WARN that it is in the
+    unselective regime (and still run)."""
+    import warnings
+
+    from landscape_spark.sim import embdup
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, (lambda v: (v / np.linalg.norm(v)).astype(float).tolist())(rng.normal(size=64)))
+        for i in range(60)
+    ]
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        embdup.embedding_near_dup_lsh(emb_df, threshold=0.35).count()
+    assert any("unselective" in str(x.message) for x in w)
