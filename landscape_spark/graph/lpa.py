@@ -23,12 +23,33 @@ def label_propagation(
     und_edges: DataFrame,
     vertices: DataFrame,
     iters: int = 5,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    start_labels: DataFrame | None = None,
+    start_iter: int = 0,
 ) -> DataFrame:
-    """Return (v, label) after ``iters`` synchronous LPA rounds."""
+    """Return (v, label) after ``iters`` synchronous LPA rounds.
+
+    checkpoint_dir enables the same durable per-iteration checkpoints as
+    pagerank/Boruvka (north rule: resumable with per-partition lineage);
+    resume_label_propagation continues from the latest saved round — the
+    label table is the loop's entire cross-iteration state, so a resumed
+    run equals an uninterrupted one exactly (labels are integers)."""
+    spark = und_edges.sparkSession
     sym = symmetrize(und_edges)
-    labels = vertices.select("v", F.col("v").alias("label")).localCheckpoint(eager=True)
+    if start_labels is not None:
+        labels = start_labels.select("v", "label").localCheckpoint(eager=True)
+    else:
+        labels = vertices.select("v", F.col("v").alias("label")).localCheckpoint(
+            eager=True
+        )
+    ckpt = None
+    if checkpoint_dir is not None:
+        from landscape_spark.checkpoint import RoundCheckpointer
+
+        ckpt = RoundCheckpointer(spark, checkpoint_dir, "lpa")
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(iters):
+    for _it in range(start_iter, iters):
         nbr_labels = sym.join(labels, sym.w == labels.v).select(
             sym.v.alias("v"), "label"
         )
@@ -44,4 +65,39 @@ def label_propagation(
             .select("v", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        if ckpt is not None and (_it + 1) % checkpoint_every == 0:
+            ckpt.save_round(
+                _it + 1,
+                {"labels": labels},
+                state={"iteration": _it + 1, "iters_total": iters},
+                metrics={},
+            )
     return labels
+
+
+def resume_label_propagation(
+    und_edges: DataFrame,
+    vertices: DataFrame,
+    checkpoint_dir: str,
+    iters: int = 5,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Continue LPA from the latest durable checkpoint (written by
+    label_propagation(..., checkpoint_dir=...)). Raises if none exists."""
+    from landscape_spark.checkpoint import RoundCheckpointer
+
+    spark = und_edges.sparkSession
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, "lpa")
+    latest = ckpt.latest_round()
+    if latest is None:
+        raise ValueError(f"no lpa checkpoint under {checkpoint_dir}")
+    dfs, lineage = ckpt.load_round(latest)
+    return label_propagation(
+        und_edges,
+        vertices,
+        iters=iters,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        start_labels=dfs["labels"],
+        start_iter=int(lineage["state"]["iteration"]),
+    )

@@ -42,3 +42,19 @@ def test_triangle_small_known(spark):
     edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     e = spark.createDataFrame(edges, "a long, b long")
     assert triangle_count(e).first()[0] == 4
+
+
+def test_lpa_checkpoint_resume(spark, sf_small, tmp_path):
+    """Kill-and-resume parity for LPA: 2 rounds checkpointed, resumed to 5,
+    EXACTLY equals an uninterrupted 5-round run (labels are integers)."""
+    from landscape_spark.graph.lpa import label_propagation, resume_label_propagation
+
+    und = linkgraph.undirected_edges(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    ckdir = str(tmp_path / "lpa_ck")
+    label_propagation(und, verts, iters=2, checkpoint_dir=ckdir, checkpoint_every=2).count()
+    resumed = sorted(
+        map(tuple, resume_label_propagation(und, verts, ckdir, iters=5).collect())
+    )
+    straight = sorted(map(tuple, label_propagation(und, verts, iters=5).collect()))
+    assert resumed == straight

@@ -1,0 +1,107 @@
+"""Physical-plan shape assertions for the headline paths.
+
+Correctness tests prove WHAT is computed; these pin HOW — the properties
+that decide whether a plan survives a 100x scale-up: no cartesian products
+anywhere, broadcasts only on provably-small sides, single-shuffle sketch
+builds, filter/column pushdown reaching the parquet scan, and no
+single-partition global windows. A regression here is invisible to value
+checks (the answer stays right, the 100TB run dies)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from landscape_spark import linkgraph
+from landscape_spark.sketch.build import build_group_slices
+from landscape_spark.sketch.l0 import SketchParams
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_sketch_build_is_single_shuffle(spark, sf_small):
+    """The sketch build's only exchange is the guttering repartition by vid
+    (SURVEY I2) — a second exchange would double the dominant ingest cost."""
+    # materialize the edge table first: the claim is about the BUILD on a
+    # given edge relation (the sf link-graph derivation has its own distinct)
+    und = linkgraph.undirected_edges(spark, sf_small).localCheckpoint(eager=True)
+    n = linkgraph.num_vertices(spark, sf_small)
+    params = SketchParams.for_graph(n, seed=1)
+    plan = _plan(build_group_slices(und, params, 8))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_no_cartesian_in_similarity_paths(spark, sf_small):
+    """kNN/ANN/near-dup must never fall back to CartesianProduct or a
+    broadcast nested-loop join (the round-1 kNN bug class)."""
+    from landscape_spark.sim import ann, embdup
+    from landscape_spark.sim.knn import knn_label_majority
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    for df in (
+        ann.brute_force_topk(emb, qvec, k=5),
+        ann.lsh_topk(emb, qvec, k=5, n_planes=8, n_tables=2),
+        embdup.embedding_near_dup_exact(emb, threshold=0.5),
+        knn_label_majority(emb, k=3),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_topk_has_no_global_single_partition_window(spark, sf_small):
+    """Top-k paths must compile to TakeOrderedAndProject (or a bounded sort),
+    never a Window over an empty partition spec (single-partition collapse —
+    the round-1 top-k bug class)."""
+    from landscape_spark.entry_queries import q_top_in_degree
+
+    plan = _plan(q_top_in_degree(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_documents_scan_prunes_columns(spark, sf_small):
+    """Token stats read (doc_id, text)-ish subsets — the parquet ReadSchema
+    must not ship every column of the documents table."""
+    from landscape_spark.entry_queries import q_token_stats
+
+    plan = _plan(q_token_stats(spark, sf_small))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "source" not in scan[0], scan[0]  # unused column stays unread
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_small):
+    """A predicate on a scanned column lands in PushedFilters, not a
+    post-scan Filter-only plan."""
+    df = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .where(F.col("doc_id") == 7)
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1].split("]")[0], plan
+
+
+def test_pagerank_iteration_has_no_vertex_sized_broadcast(spark, sf_small):
+    """The round-2 scale defect: a per-iteration broadcast of an O(n) table.
+    The only broadcast inside the rank update must be the 1-row dangling
+    aggregate (its plan contains the aggregate, not a vertex-table scan)."""
+    from landscape_spark.graph.pagerank import pagerank
+
+    e = linkgraph.directed_edges(spark, sf_small)
+    n = linkgraph.num_vertices(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    # one symbolic iteration: build the new_ranks plan without executing
+    ranks = pagerank(e, verts, n, iters=1)
+    plan = _plan(ranks)
+    # every BroadcastExchange in the final iteration plan must hash-join a
+    # 1-row side (the dangling scalar); IdentityBroadcastMode marks the
+    # nested-loop variant and must be absent
+    assert "IdentityBroadcastMode" not in plan, plan
