@@ -19,9 +19,14 @@ from landscape_spark import entry_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: connected-component sizes of the link graph derived from
-    /root/testdata/sf0.001 documents (exact min-label CC)."""
-    return entry_queries.q_cc_sizes(spark, "/root/testdata/sf0.001")
+    """Flagship: SKETCH-based connected components (the engine's headline
+    machinery — l0-sampling supernodes + Boruvka merge rounds) of the link
+    graph derived from /root/testdata/sf0.001 documents, reported as
+    component sizes."""
+    from pyspark.sql import functions as F
+
+    cc = entry_queries.q_cc_sketch(spark, "/root/testdata/sf0.001")
+    return cc.groupBy("comp").agg(F.count(F.lit(1)).alias("comp_size"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
