@@ -52,10 +52,19 @@ class RoundCheckpointer:
     ) -> None:
         rd = self.round_dir(rnd)
         t0 = time.time()
+        # 'previous' points at the latest round actually WRITTEN before this
+        # one — batched iteration schedules skip round indices (e.g. rounds
+        # 0, 4, 6 from 4-then-2 group batching), so round_dir(rnd-1) would
+        # be a dangling reference for every round after the first
+        earlier = [
+            r
+            for r in (self._existing_rounds() if rnd > 0 else [])
+            if r < rnd
+        ]
         lineage: dict[str, Any] = {
             "round": rnd,
             "ts": time.time(),
-            "previous": self.round_dir(rnd - 1) if rnd > 0 else None,
+            "previous": self.round_dir(max(earlier)) if earlier else None,
             "tables": {},
             "state": state,
             "metrics": metrics,
@@ -76,13 +85,16 @@ class RoundCheckpointer:
         os.replace(tmp, os.path.join(rd, "lineage.json"))  # atomic, like the
         # reference's status-file rename (work_distributor.cpp:83-88)
 
-    def latest_round(self) -> int | None:
-        rounds = [
+    def _existing_rounds(self) -> list[int]:
+        return [
             int(d.split("=", 1)[1])
             for d in os.listdir(self.dir)
             if d.startswith("round=")
             and os.path.exists(os.path.join(self.dir, d, "lineage.json"))
         ]
+
+    def latest_round(self) -> int | None:
+        rounds = self._existing_rounds()
         return max(rounds) if rounds else None
 
     def load_round(self, rnd: int) -> tuple[dict[str, DataFrame], dict[str, Any]]:

@@ -95,7 +95,7 @@ def _initial_vmap(und_edges: DataFrame) -> DataFrame:
     )
 
 
-def _star_contraction(pairs: DataFrame, num_partitions: int = 32) -> DataFrame:
+def _star_contraction(pairs: DataFrame) -> DataFrame:
     """Distributed connected components of the (tiny relative to the graph)
     sampled component-pair graph: alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -269,8 +269,7 @@ def _cc_rounds(
             remap_df = F.broadcast(spark.createDataFrame(remap_pdf))
         else:
             remap_df = _star_contraction(
-                resolved.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
-                num_partitions,
+                resolved.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y"))
             ).localCheckpoint(eager=True)
             merged_any = True  # every surviving pair crosses components
             n_merged = remap_df.count()
@@ -485,8 +484,7 @@ def _forest_pass_slices(
             n_merged = kept.count()
             forest_parts.append(kept.select("a", "b"))
             remap_df = _star_contraction(
-                kept.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y")),
-                num_partitions,
+                kept.select(F.col("comp_u").alias("x"), F.col("comp_v").alias("y"))
             ).localCheckpoint(eager=True)
         vmap = (
             vmap.join(remap_df, vmap.comp == remap_df.old_comp, "left")
@@ -539,6 +537,15 @@ def connected_components_sketch(
         from landscape_spark.checkpoint import RoundCheckpointer
 
         ckpt = RoundCheckpointer(spark, checkpoint_dir, "boruvka_cc")
+        if ckpt.latest_round() is not None:
+            # a fresh run on a dir holding a previous run would skip saving
+            # its slice table (the first-save-only rule) while pointing new
+            # rounds at a slices_path that was never written — resume would
+            # then fail or silently mix two runs' state
+            raise ValueError(
+                f"{checkpoint_dir} already holds a boruvka_cc run; resume it "
+                "with resume_connected_components or use a fresh directory"
+            )
     # persist() (in-memory COLUMNAR cache), not localCheckpoint (row blocks):
     # every pass projects only its groups' columns, and the columnar cache
     # actually prunes them — a checkpointed row store would deserialize the
@@ -550,7 +557,7 @@ def connected_components_sketch(
     vmap0 = slices.select(
         F.col("vid").alias("v"), F.col("vid").alias("comp")
     ).localCheckpoint(eager=True)
-    return _cc_rounds(
+    vmap = _cc_rounds(
         spark,
         slices,
         vmap0,
@@ -562,6 +569,10 @@ def connected_components_sketch(
         collect_threshold=collect_threshold,
         groups_per_pass=groups_per_pass,
     )
+    # the returned map is checkpointed per round — release the slice cache
+    # instead of pinning O(n x rounds x slice-bytes) until session end
+    slices.unpersist()
+    return vmap
 
 
 def resume_connected_components(
@@ -690,9 +701,14 @@ def components_with_isolated(
 
 def point_to_point_query(cc_result: DataFrame, a: int, b: int) -> bool:
     """Connectivity of two vertices from a cached CC result (the reference's
-    DSU fast path, graph_distrib_update.cpp:211-226)."""
-    rows = cc_result.where(F.col("v").isin([a, b])).select("comp").distinct().count()
-    return rows == 1
+    DSU fast path, graph_distrib_update.cpp:211-226). Vertices absent from
+    the map (isolated — CC maps may cover edge-incident vertices only) are
+    their own singleton components, same fallback as batched_reachability:
+    (present, absent) is disconnected and (v, v) is always connected."""
+    if a == b:
+        return True
+    rows = {r.v: r.comp for r in cc_result.where(F.col("v").isin([a, b])).collect()}
+    return rows.get(a, a) == rows.get(b, b)
 
 
 def batched_reachability(cc_result: DataFrame, pairs: DataFrame) -> DataFrame:

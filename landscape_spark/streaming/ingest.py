@@ -15,13 +15,30 @@ operation (XOR toggles presence), exactly the reference's linear-sketch
 deletion semantics. A "breakpoint query" is simply a Boruvka run on the
 committed state after any micro-batch — the batch boundary IS the pause.
 
-State lives as parquet (atomic directory swap per batch), so ingest is
-resumable and queries read a consistent snapshot (the analog of the
-reference's flush barrier before queries, graph_distrib_update.cpp:122-124).
+State lives as VERSIONED parquet directories behind an atomically-renamed
+CURRENT pointer file, so ingest is resumable and queries read a consistent
+snapshot (the analog of the reference's flush barrier before queries,
+graph_distrib_update.cpp:122-124). Three failure modes drove the design:
+
+* foreachBatch is AT-LEAST-ONCE: a crash after the state commit but before
+  the stream's offset commit re-delivers the same batch, and under XOR
+  semantics re-merging an identical delta would DELETE that batch's edges.
+  CURRENT therefore records the last applied batch_id; replays of an
+  already-applied id are skipped (idempotent commit).
+* A delete-then-rename swap has a crash window that loses ALL state. The
+  pointer flip (os.replace of CURRENT) is the single atomic commit point:
+  a crash before it leaves the previous version intact (the uncommitted
+  batch is re-delivered), after it the new version is live.
+* An in-stream query scans its version's parquet across multiple Boruvka
+  passes; the PREVIOUS version is retained one commit before cleanup so a
+  query racing one concurrent commit keeps its snapshot (queries racing
+  more than one commit should run between batches — availableNow mode —
+  or pin the DataFrame first).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -59,11 +76,30 @@ class SketchStreamIngestor:
         os.makedirs(state_dir, exist_ok=True)
 
     @property
+    def _pointer(self) -> str:
+        return os.path.join(self.state_dir, "CURRENT")
+
+    def _meta(self) -> dict | None:
+        """{"version": int, "batch_id": int|None} from CURRENT, or None."""
+        try:
+            with open(self._pointer) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.state_dir, f"sketches_v{version}")
+
+    @property
     def _cur(self) -> str:
-        return os.path.join(self.state_dir, "sketches")
+        meta = self._meta()
+        return self._version_dir(meta["version"]) if meta else self._version_dir(0)
 
     def _has_state(self) -> bool:
-        return os.path.exists(os.path.join(self._cur, "_SUCCESS"))
+        meta = self._meta()
+        return meta is not None and os.path.exists(
+            os.path.join(self._version_dir(meta["version"]), "_SUCCESS")
+        )
 
     def current_sketches(self) -> DataFrame | None:
         if not self._has_state():
@@ -75,7 +111,21 @@ class SketchStreamIngestor:
         batch_df: columns (a, b) — canonical or not; both endpoints update.
         State uses the COLUMNAR per-group slice layout (one binary column per
         sketch group), so the parquet state file is column-prunable: each
-        in-stream Boruvka pass reads only the groups it consumes."""
+        in-stream Boruvka pass reads only the groups it consumes.
+
+        IDEMPOTENT per batch_id: at-least-once foreachBatch replay of an
+        already-applied id is a no-op (re-merging an identical delta would
+        XOR-DELETE the batch's edges). The commit point is the atomic
+        CURRENT-pointer rename; a crash before it leaves the previous
+        version live and the stream re-delivers the batch."""
+        meta = self._meta()
+        if (
+            batch_id is not None
+            and meta is not None
+            and meta.get("batch_id") is not None
+            and batch_id <= meta["batch_id"]
+        ):
+            return  # at-least-once replay of a committed batch
         edges = batch_df.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         ).where(F.col("a") != F.col("b"))
@@ -84,11 +134,27 @@ class SketchStreamIngestor:
         merged = delta if cur is None else xor_merge_slices(
             cur.unionAll(delta), "vid", self.params, self.num_partitions
         )
-        tmp = os.path.join(self.state_dir, "sketches_next")
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self._cur):
-            shutil.rmtree(self._cur)
-        os.replace(tmp, self._cur)
+        new_version = (meta["version"] + 1) if meta else 0
+        new_dir = self._version_dir(new_version)
+        merged.write.mode("overwrite").parquet(new_dir)
+        # atomic commit: tmp-write + rename of the pointer file
+        committed_bid = batch_id if batch_id is not None else (
+            meta.get("batch_id") if meta else None
+        )
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": new_version, "batch_id": committed_bid}, f)
+        os.replace(tmp, self._pointer)
+        # retain the PREVIOUS version (a query racing this commit keeps its
+        # snapshot); garbage-collect anything older
+        for name in os.listdir(self.state_dir):
+            if name.startswith("sketches_v"):
+                try:
+                    v = int(name[len("sketches_v"):])
+                except ValueError:
+                    continue
+                if v < new_version - 1:
+                    shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
         self.batches_seen += 1
         # appended updates invalidate the cached CC result
         self._cc_cache_version = None
@@ -107,38 +173,50 @@ class SketchStreamIngestor:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def query_components(self, n_vertices: int) -> DataFrame:
-        """In-stream CC query on the committed sketch state (v, comp) for
-        edge-incident vertices: the SAME _cc_rounds machinery as the flagship
-        batch query (column-pruned passes straight off the parquet state, no
-        supernode rematerialization, driver DSU under threshold / star
-        contraction above). The micro-batch boundary is the flush barrier;
-        each query starts at group 0 — the state changed since the last
-        query, which is the reference's query-state reset (Q5). Results are
-        cached until the next absorbed batch (GreedyCC)."""
-        from landscape_spark.sketch.boruvka import _cc_rounds
+    def query_components(self, n_vertices: int = 0) -> DataFrame:
+        """In-stream CC query on the committed sketch state (v, comp): the
+        SAME _cc_rounds machinery as the flagship batch query (column-pruned
+        passes straight off the parquet state, no supernode
+        rematerialization, driver DSU under threshold / star contraction
+        above). With n_vertices > 0 the result covers ALL of 0..n-1
+        (never-seen vertices as their own singleton components); with 0 it
+        covers edge-incident vertices only. The micro-batch boundary is the
+        flush barrier; each query starts at group 0 — the state changed
+        since the last query, which is the reference's query-state reset
+        (Q5). The raw Boruvka result is cached until the next absorbed batch
+        (GreedyCC); the isolated-vertex padding is a cheap per-call join on
+        top of the cache."""
+        from landscape_spark.sketch.boruvka import _cc_rounds, components_with_isolated
 
+        # the cache holds the RAW edge-incident map (the expensive Boruvka
+        # result); isolated-vertex padding is a cheap join applied per call,
+        # so q(0) and q(n) share one cache entry
         if self._cc_cache_version == self.batches_seen and self._cc_cache_vmap is not None:
             self.cc_cache_hits += 1
-            return self._cc_cache_vmap
-        self.cc_cache_misses += 1
-        slices = self.current_sketches()
-        if slices is None:
-            return self.spark.createDataFrame([], "v long, comp long")
-        vmap0 = slices.select(
-            F.col("vid").alias("v"), F.col("vid").alias("comp")
-        ).localCheckpoint(eager=True)
-        vmap = _cc_rounds(
-            self.spark,
-            slices,
-            vmap0,
-            self.params,
-            start_group=0,
-            num_partitions=self.num_partitions,
-        )
-        vmap = vmap.localCheckpoint(eager=True)
-        self._cc_cache_version = self.batches_seen
-        self._cc_cache_vmap = vmap
+            vmap = self._cc_cache_vmap
+        else:
+            self.cc_cache_misses += 1
+            slices = self.current_sketches()
+            if slices is None:
+                vmap = self.spark.createDataFrame([], "v long, comp long")
+            else:
+                vmap0 = slices.select(
+                    F.col("vid").alias("v"), F.col("vid").alias("comp")
+                ).localCheckpoint(eager=True)
+                vmap = _cc_rounds(
+                    self.spark,
+                    slices,
+                    vmap0,
+                    self.params,
+                    start_group=0,
+                    num_partitions=self.num_partitions,
+                )
+            vmap = vmap.localCheckpoint(eager=True)
+            self._cc_cache_version = self.batches_seen
+            self._cc_cache_vmap = vmap
+        if n_vertices > 0:
+            verts = self.spark.range(n_vertices).select(F.col("id").alias("v"))
+            vmap = components_with_isolated(self.spark, vmap, verts)
         return vmap
 
     def burst_point_queries(self, pairs: DataFrame) -> DataFrame:

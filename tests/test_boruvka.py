@@ -114,7 +114,7 @@ def test_star_contraction_matches_nx(spark):
             pairs.add((a, b))
     g = nx.Graph(pairs)
     df = spark.createDataFrame(sorted(pairs), "x long, y long")
-    remap = {r.old_comp: r.new_comp for r in _star_contraction(df, 8).collect()}
+    remap = {r.old_comp: r.new_comp for r in _star_contraction(df).collect()}
     for comp in nx.connected_components(g):
         root = min(comp)
         for v in comp:

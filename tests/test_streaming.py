@@ -142,4 +142,71 @@ def test_cc_cache_hit_and_invalidate(spark, tmp_path):
     ing.absorb_batch(spark.createDataFrame([(5, 6)], "a long, b long"), 1)  # invalidate
     got = {r.v: r.comp for r in ing.query_components(n).collect()}
     assert ing.cc_cache_misses == 2
-    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+    # n_vertices > 0 covers ALL of 0..n-1: never-seen vertices are singletons
+    expected = {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+    expected.update({v: v for v in range(n) if v not in expected})
+    assert got == expected
+
+
+def test_absorb_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a committed batch_id
+    must be a no-op — under XOR semantics a re-merge would DELETE the
+    batch's edges from the sketch state."""
+    n = 16
+    params = SketchParams.for_graph(n, seed=7)
+    ing = SketchStreamIngestor(spark, params, str(tmp_path / "rep"), num_partitions=2)
+    b0 = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    ing.absorb_batch(b0, 0)
+    before = {r.v: r.comp for r in ing.query_components(0).collect()}
+    ing.absorb_batch(b0, 0)  # at-least-once replay of the SAME batch id
+    after = {r.v: r.comp for r in ing.query_components(0).collect()}
+    assert after == before == {1: 1, 2: 1, 3: 3, 4: 3}
+    # a genuinely new batch id still applies
+    ing.absorb_batch(spark.createDataFrame([(2, 3)], "a long, b long"), 1)
+    got = {r.v: r.comp for r in ing.query_components(0).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_state_commit_survives_crash_before_pointer_flip(spark, tmp_path):
+    """The atomic commit point is the CURRENT pointer rename: a crash after
+    writing the new version dir but BEFORE the flip must leave the previous
+    committed state live (the stream re-delivers the uncommitted batch)."""
+    import json
+    import os
+
+    n = 16
+    params = SketchParams.for_graph(n, seed=9)
+    sd = str(tmp_path / "crash")
+    ing = SketchStreamIngestor(spark, params, sd, num_partitions=2)
+    ing.absorb_batch(spark.createDataFrame([(1, 2)], "a long, b long"), 0)
+    committed = {r.v: r.comp for r in ing.query_components(0).collect()}
+    # simulate the crash window: the next version's dir exists (fully
+    # written) but CURRENT was never flipped
+    ing2 = SketchStreamIngestor(spark, params, sd, num_partitions=2)
+    nxt = ing2._version_dir(1)
+    os.makedirs(nxt, exist_ok=True)
+    open(os.path.join(nxt, "_SUCCESS"), "w").close()
+    with open(os.path.join(sd, "CURRENT")) as f:
+        assert json.load(f)["version"] == 0  # pointer still on v0
+    assert {r.v: r.comp for r in ing2.query_components(0).collect()} == committed
+    # the re-delivered batch commits over the stale dir and flips to v1
+    ing2.absorb_batch(spark.createDataFrame([(3, 4)], "a long, b long"), 1)
+    with open(os.path.join(sd, "CURRENT")) as f:
+        assert json.load(f)["version"] == 1
+    got = {r.v: r.comp for r in ing2.query_components(0).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_state_retains_previous_version_for_racing_queries(spark, tmp_path):
+    """The previous version dir survives one commit (an in-flight query's
+    snapshot); older versions are garbage-collected."""
+    import os
+
+    n = 16
+    params = SketchParams.for_graph(n, seed=11)
+    sd = str(tmp_path / "ret")
+    ing = SketchStreamIngestor(spark, params, sd, num_partitions=2)
+    for i, pair in enumerate([(1, 2), (3, 4), (5, 6)]):
+        ing.absorb_batch(spark.createDataFrame([pair], "a long, b long"), i)
+    dirs = sorted(d for d in os.listdir(sd) if d.startswith("sketches_v"))
+    assert dirs == ["sketches_v1", "sketches_v2"]  # current + previous only
