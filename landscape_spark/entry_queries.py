@@ -193,6 +193,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_hamming=8 is BEST-EFFORT beyond distance 3 (4x16-bit chunk
+    blocking guarantees detection only for d <= 3 by pigeonhole — see
+    simhash_near_pairs); kept at 8 here for continuity of the gate's
+    recorded row counts."""
     from landscape_spark.text import dedup
 
     return dedup.simhash_near_pairs(

@@ -286,7 +286,11 @@ def resize_image(media: DataFrame, target: int = 224) -> DataFrame:
                 img = decode_bmp(bytes(payload))
                 h, w = img.shape
                 scale = min(target / w, target / h)
-                ow, oh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+                # HALF_UP (floor(x+0.5)) to match resize_plan's Spark
+                # F.round — Python round() is banker's rounding and would
+                # disagree on exact-.5 products (e.g. 52.5 -> 52 vs 53)
+                ow = max(int(np.floor(w * scale + 0.5)), 1)
+                oh = max(int(np.floor(h * scale + 0.5)), 1)
                 yi = (np.arange(oh) * (h / oh)).astype(np.int64).clip(0, h - 1)
                 xi = (np.arange(ow) * (w / ow)).astype(np.int64).clip(0, w - 1)
                 out = img[yi][:, xi]

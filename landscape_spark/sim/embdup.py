@@ -144,10 +144,15 @@ def embedding_near_dup_lsh(
     of silently dropping near-threshold pairs."""
     import warnings
 
-    if n_planes is None or n_tables is None:
+    if (n_planes is None) != (n_tables is None):
+        # mixing one pinned value with one tuned-for-a-different-k value
+        # gives a geometry nobody chose (and the warning's recall figure
+        # would describe the tuned pair, not the one that runs)
+        raise ValueError("pass both n_planes and n_tables, or neither")
+    if n_planes is None:
         k, L, recall = tune_hyperplane_geometry(threshold)
-        n_planes = n_planes or k
-        n_tables = n_tables or L
+        n_planes = k
+        n_tables = L
         import math
 
         p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi

@@ -77,7 +77,14 @@ def knn_exact_broadcast(emb: DataFrame, k: int = 5) -> DataFrame:
                 # mergesort on -sim realizes exactly that tie-break
                 row = np.where(self_mask, -np.inf, row)
                 top = np.argsort(-row, kind="stable")[:k]
-                preds[i] = _majority(blabels[top])
+                # a corpus with N <= k rows would otherwise pull the
+                # -inf-masked SELF entry into its own top-k (the SQL oracle
+                # excludes self via a.vec_id <> b.vec_id)
+                top = top[np.isfinite(row[top])]
+                if len(top) == 0:  # single-row corpus: no neighbors at all
+                    preds[i] = int(blabels[self_mask][0]) if self_mask.any() else -1
+                else:
+                    preds[i] = _majority(blabels[top])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(qids, type=pa.int64()), pa.array(preds, type=pa.int64())],
                 names=["vec_id", "pred_label"],

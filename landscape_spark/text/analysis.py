@@ -23,13 +23,15 @@ STOPWORDS = LANG_MARKERS["en"]
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count: number of maximal \\S+ runs."""
-    return F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)"))
+    """Whitespace token count of the GIVEN column: number of maximal \\S+
+    runs. (The former F.expr form hard-coded the literal column name 'text',
+    silently ignoring this parameter for any other column.)"""
+    return F.size(F.regexp_extract_all(text, F.lit("\\S+"), 0))
 
 
 def _count_word(text: Column, word: str) -> Column:
     # count of whole-word occurrences, case-sensitive (documents are lowercase)
-    return F.size(F.expr(f"regexp_extract_all(text, '\\\\b{word}\\\\b', 0)"))
+    return F.size(F.regexp_extract_all(text, F.lit(f"\\b{word}\\b"), 0))
 
 
 def with_token_stats(docs: DataFrame) -> DataFrame:

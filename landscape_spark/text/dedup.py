@@ -29,14 +29,44 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
-    """Distinct character n-gram shingles per doc: (doc_id, sh)."""
+    """Distinct character n-gram shingles per doc: (doc_id, sh). Docs
+    shorter than n have NO shingles (guarded explicitly: Spark's
+    sequence(1, 0) infers step -1 and returns [1, 0] — an unguarded
+    greatest(length-{n-1}, 0) bound would emit a spurious whole-text
+    shingle for short docs where the DuckDB oracle's range(1, 1) is
+    empty)."""
     return (
         docs.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(length(text) - {n - 1}, 0)),"
-                    f" i -> substring(text, i, {n}))"
+                    f"case when length(text) >= {n} then "
+                    f"transform(sequence(1, length(text) - {n - 1}),"
+                    f" i -> substring(text, i, {n})) "
+                    f"else array() end"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def byte_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Distinct BYTE n-gram shingles per doc: (doc_id, sh binary). The
+    MinHash pipeline's signature kernel packs byte windows (identical to
+    char n-grams on ASCII), so its exact verification must score the SAME
+    byte shingles — using char shingles there lets a multibyte pair's
+    byte-Jaccard estimate sit arbitrarily far from its char-Jaccard and
+    break the screen-margin guarantee."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"case when octet_length(text) >= {n} then "
+                    f"transform(sequence(1, octet_length(text) - {n - 1}),"
+                    f" i -> substring(cast(text as binary), i, {n})) "
+                    f"else array() end"
                 )
             ).alias("sh"),
         )
@@ -208,19 +238,6 @@ def tune_banding(
     return num_hashes, 1
 
 
-def hash_bytes_u64(b: bytes) -> np.uint64:
-    """FNV-1a 64 over bytes, then splitmix64 finalize (deterministic across
-    processes, unlike Python's salted hash())."""
-    h = np.uint64(0xCBF29CE484222325)
-    old = np.seterr(over="ignore")
-    try:
-        for byte in b:
-            h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-        return splitmix64(h)
-    finally:
-        np.seterr(**old)
-
-
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 32, rows_per_band: int = 2
 ) -> DataFrame:
@@ -277,12 +294,21 @@ def minhash_lsh_dedup(
     false intersection needs a 64-bit collision inside one pair's sets,
     ~1e-13).
 
-    Output ⊆ ngram_jaccard_pairs; recall measured in tests. Returns
+    Output pairs verify against BYTE n-gram Jaccard — the same shingle
+    space the signatures estimate (== char n-grams on ASCII, where output
+    ⊆ ngram_jaccard_pairs; on multibyte text byte-shingling is the
+    consistent end-to-end definition). Recall measured in tests. Returns
     (doc_lo, doc_hi, jac)."""
     if bands is None:
         bands, rows_per_band = tune_banding(threshold, num_hashes)
     else:
         rows_per_band = num_hashes // bands
+        if rows_per_band < 1:
+            raise ValueError(
+                f"bands={bands} > num_hashes={num_hashes}: rows_per_band "
+                "would be 0 and every empty band slice would hash "
+                "identically corpus-wide — a silent all-pairs explosion"
+            )
     sigs = minhash_signatures(docs, num_hashes=num_hashes, seed=seed).cache()
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     est = F.size(
@@ -309,7 +335,7 @@ def minhash_lsh_dedup(
         .distinct()
     )
     sets = (
-        shingles(docs.join(cand_docs, on="doc_id", how="left_semi"))
+        byte_shingles(docs.join(cand_docs, on="doc_id", how="left_semi"))
         .select("doc_id", F.xxhash64("sh", F.lit(seed + 7)).alias("shh"))
         .groupBy("doc_id")
         .agg(F.collect_set("shh").alias("shs"))
@@ -384,11 +410,20 @@ def simhash(docs: DataFrame, seed: int = 42) -> DataFrame:
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8, seed: int = 42) -> DataFrame:
-    """Candidate near-dup pairs: block on 4 x 16-bit simhash chunks (two of
-    four chunks must match exactly if hamming <= ~8 concentrated; standard
-    multi-probe blocking), verify Hamming distance."""
-    s = simhash(docs, seed).cache()
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 42) -> DataFrame:
+    """Near-dup pairs: block on 4 x 16-bit simhash chunks, verify Hamming
+    distance. By pigeonhole, 4 chunks guarantee a matching chunk exactly
+    when hamming <= 3 — the classic 64-bit/4-block near-dup design (Manku
+    et al., WWW'07) — hence the default. Pairs at larger distances are
+    found only if their differing bits happen to spare one chunk, so
+    max_hamming > 3 is best-effort (documented, not guaranteed); complete
+    detection at d needs d+1 blocks.
+
+    Docs with no tokens (simhash 0 sentinel) are EXCLUDED from pair
+    mining: content-free docs are not near-duplicates of each other, and
+    the shared sentinel would otherwise produce a quadratic hamming-0
+    clique of empty docs."""
+    s = simhash(docs, seed).where(F.col("simhash") != 0).cache()
     chunks = s.select(
         "doc_id",
         "simhash",
