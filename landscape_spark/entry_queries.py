@@ -419,7 +419,6 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
 
 
 def _text_oracles() -> dict[str, str]:
-    from landscape_spark.sim import ann  # noqa: F401 (SQL helpers below)
     from landscape_spark.sim.embdup import embedding_near_dup_sql
     from landscape_spark.text import analysis, dedup
 

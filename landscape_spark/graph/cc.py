@@ -14,8 +14,10 @@ rows, no extra join).
 
 Scale notes: each round is one shuffle (groupBy v). Rounds ~ graph diameter;
 web graphs are short-diameter so this terminates fast. Lineage is cut every
-round with localCheckpoint to keep plans O(1). Label messages flow only
-from lower ids, halving traffic.
+round with localCheckpoint to keep plans O(1). Label messages with
+comp >= receiver id are dropped before the shuffle (labels are monotone
+non-increasing and label(v) <= v, so such a message can never lower the
+receiver's label) — this halves message traffic.
 """
 
 from __future__ import annotations
@@ -47,12 +49,22 @@ def connected_components_exact(
     sum-based convergence check exits as soon as labels are stable, so
     short-diameter graphs (the web-graph case) never pay for the higher cap.
     """
+    import warnings
+
     sym = symmetrize(und_edges)
     labels = vertices.select("v", F.col("v").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(max_iter):
-        msgs = sym.join(labels, on="v").select(F.col("w").alias("v"), "comp")
+        msgs = (
+            sym.join(labels, on="v")
+            .select(F.col("w").alias("v"), "comp")
+            # label(u) <= u, so a message with comp >= v can never lower
+            # v's label (label(v) <= v <= comp) — dropping them pre-shuffle
+            # halves message traffic without changing the fixpoint
+            .where(F.col("comp") < F.col("v"))
+        )
         labels = (
             msgs.unionAll(labels)
             .groupBy("v")
@@ -61,6 +73,19 @@ def connected_components_exact(
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # labels were still decreasing when the round budget ran out — the
+        # returned map is WRONG for some vertices (this is the golden path
+        # the sketch CC is verified against; silence here would let a
+        # mislabeled run validate or falsify sketch results)
+        warnings.warn(
+            f"connected_components_exact did not converge within "
+            f"{max_iter} rounds (graph diameter exceeds the cap) — labels "
+            "are still decreasing; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

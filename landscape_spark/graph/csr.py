@@ -37,7 +37,11 @@ def build_csr_blocks(edges: DataFrame, num_partitions: int = 32) -> DataFrame:
     np.frombuffer on the way in). array<long> cells were measured ~10x
     slower end-to-end: every list cell materializes millions of boxed Python
     ints when the RDD path reads the row."""
-    part = edges.repartition(num_partitions, F.pmod(F.col("src"), F.lit(num_partitions)))
+    # repartition on the RAW src column: repartitioning on pmod(src, P)
+    # hash-partitions the pmod VALUE, leaving ~37% of partitions empty with
+    # ~3x row skew (recorded pitfall) — any consistent src-colocating
+    # assignment works, since each block carries its explicit vids list
+    part = edges.repartition(num_partitions, F.col("src"))
 
     def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         srcs, dsts = [], []
@@ -100,14 +104,28 @@ def pagerank_csr(
     both are tested equal.
     """
     n = n_vertices
-    if n > dense_threshold or edges.count() > dense_threshold:
+    if n > dense_threshold:
         raise ValueError(
             "pagerank_csr is the dense-vector-regime path (driver/executor "
             "copies of the packed CSR); above dense_threshold use "
             "landscape_spark.graph.pagerank, the fully-distributed join path"
         )
     sc = spark.sparkContext
-    rows = build_csr_blocks(edges, num_partitions).collect()
+    # guard the edge count via an agg over the <= P packed rows (cached so
+    # the guard and the collect share one shuffle+pack execution — a plain
+    # edges.count() would re-run the caller's whole edge plan, typically a
+    # scan + distinct shuffle, a second time)
+    csr = build_csr_blocks(edges, num_partitions).persist()
+    m = (csr.agg(F.sum(F.octet_length("indices"))).first()[0] or 0) // 8
+    if m > dense_threshold:
+        csr.unpersist()
+        raise ValueError(
+            f"pagerank_csr is the dense-vector-regime path ({m} edges > "
+            f"dense_threshold={dense_threshold}); use "
+            "landscape_spark.graph.pagerank, the fully-distributed join path"
+        )
+    rows = csr.collect()
+    csr.unpersist()
     blocks = [
         (
             np.frombuffer(r.vids, dtype=np.int64),

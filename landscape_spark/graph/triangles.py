@@ -49,7 +49,11 @@ def triangles_per_vertex(und_edges: DataFrame, vertices: DataFrame) -> DataFrame
     o = _oriented_by_degree(und_edges).cache()
     e1 = o.select(F.col("u"), F.col("x").alias("v1"))
     e2 = o.select(F.col("u"), F.col("x").alias("v2"))
-    wedges = e1.join(e2, on="u").where(F.col("v1") != F.col("v2"))
+    # v1 < v2 BEFORE the closing-edge join (not after): each unordered
+    # wedge would otherwise enter the join twice as (q,r)/(r,q) and half
+    # the joined rows would be discarded — 2x the work of the hottest
+    # operator (triangle_count below already pre-filters the same way)
+    wedges = e1.join(e2, on="u").where(F.col("v1") < F.col("v2"))
     # closing edge may be oriented either way between v1 and v2
     closing = o.select(
         F.least("u", "x").alias("lo"), F.greatest("u", "x").alias("hi")
@@ -58,7 +62,7 @@ def triangles_per_vertex(und_edges: DataFrame, vertices: DataFrame) -> DataFrame
         closing,
         (F.least("v1", "v2") == F.col("lo")) & (F.greatest("v1", "v2") == F.col("hi")),
         "inner",
-    ).where(F.col("v1") < F.col("v2"))  # each triangle appears once per apex u
+    )  # each triangle appears once per apex u
     per_apex = tris.select(
         F.explode(F.array("u", "v1", "v2")).alias("v")
     ).groupBy("v").agg(F.count(F.lit(1)).alias("tri_cnt"))

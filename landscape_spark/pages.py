@@ -101,8 +101,7 @@ def _render_page(page_id: int, n_docs: int, seed: int) -> tuple:
         ]
         paras.append(" ".join(wl))
     anchor_html = "".join(
-        f'<a href="https://site{int(splitmix64(np.uint64(t) ^ np.uint64(0x517E)) % np.uint64(64))}.example/p/{t}">link {ai}</a> '
-        for ai, t in enumerate(links)
+        f'<a href="{url_of(t)}">link {ai}</a> ' for ai, t in enumerate(links)
     )
     html = (
         f"<html><head><title>{title}</title></head><body>"
@@ -112,8 +111,7 @@ def _render_page(page_id: int, n_docs: int, seed: int) -> tuple:
     )
     text = extract_text_from_html(html)
     ts = pd.Timestamp("2024-01-01", tz=None) + pd.Timedelta(seconds=h % 31536000)
-    return (f"https://site{int(splitmix64(np.uint64(page_id) ^ np.uint64(0x517E)) % np.uint64(64))}.example/p/{page_id}",
-            ts, html.encode("utf-8"), text, lang)
+    return (url_of(page_id), ts, html.encode("utf-8"), text, lang)
 
 
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -227,8 +225,11 @@ def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """pages -> (vertices(url, vid), edges(src, dst)) via extraction +
     dictionary join. Broadcast the dictionary when small; at web scale this
     becomes a sort-merge join on url — both Catalyst-chosen."""
+    # materialize both results eagerly and release the intermediate caches
+    # before returning — a cache the caller never unpersists is a
+    # per-invocation executor-memory leak (same standard as q_ann_lsh)
     ex = extract_pages(pages).cache()
-    vdict = url_vertex_dictionary(ex).cache()
+    vdict = url_vertex_dictionary(ex).localCheckpoint(eager=True)
     src = ex.where(F.col("out_url").isNotNull()).join(vdict, on="url").select(
         F.col("vid").alias("src"), "out_url"
     )
@@ -240,5 +241,7 @@ def edges_from_pages(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    ex.unpersist()
     return vdict, edges

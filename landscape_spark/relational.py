@@ -166,8 +166,12 @@ SELECT event_type, user_id, total_value FROM (
     "events_sessionize": f"""
 WITH marked AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
-                OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_MIN * 60}
+         -- FLOOR(epoch(...)) matches Spark's unix_timestamp WHOLE-SECOND
+         -- truncation; DuckDB's epoch() alone returns fractional DOUBLE
+         -- seconds and would split sessions differently for gaps within
+         -- 1s of the boundary on sub-second timestamps
+         CASE WHEN FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts))) OVER w IS NULL
+                OR FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts))) OVER w > {SESSION_GAP_MIN * 60}
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -66,3 +66,27 @@ def test_cc_long_path_diameter(spark):
     v = spark.range(n).select(F.col("id").alias("v"))
     got = {r.v: r.comp for r in connected_components_exact(e, v).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_exact_warns_on_round_budget_exhaustion(spark):
+    """Exhausting max_iter while labels are still decreasing must WARN — a
+    silently wrong golden-path result would validate or falsify sketch CC."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    n = 64
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    verts = spark.range(n).select(F.col("id").alias("v"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components_exact(path, verts, max_iter=3).count()
+    assert any("did not converge" in str(x.message) for x in w)
+    # and a converged run stays silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {r.v: r.comp for r in connected_components_exact(path, verts).collect()}
+    assert not any("did not converge" in str(x.message) for x in w)
+    assert set(got.values()) == {0}
