@@ -3,7 +3,9 @@
 Runs the SAME ingest + query job at two parallelism levels — DEFAULT
 local[2] vs local[8] (N and 4N cores; the sandbox proxy for N vs 4N
 executors — no real cluster here) — on identical input, and writes
-BENCH/BASELINE.md with throughput at both plus the efficiency ratio. The
+BENCH/SCALING_LAST_RUN.md with throughput at both plus the efficiency
+ratio (BENCH/BASELINE.md is the CURATED record — this script once wrote it
+directly and silently clobbered the hand-merged analysis sections). The
 2->8 default is deliberate: this VM advertises 32 CPUs but delivers ~14-16
 effective cores (measured in main() below), so 8->32 cannot show true 4x
 scaling for ANY workload here; set SCALE_LEVELS=8,32 to reproduce that
@@ -242,7 +244,9 @@ def main() -> None:
         "kernel_phase": kern,
         "kernel_speedup": round(kern_speedup, 3), "kernel_scaling_efficiency": round(kern_eff, 3),
     }
-    md = f"""# BENCH/BASELINE.md — scaling evidence (N vs 4N parallelism proxy)
+    md = f"""# BENCH/SCALING_LAST_RUN.md — latest raw scaling run (N vs 4N proxy)
+
+Generated by bench_scaling.py; the curated record is BENCH/BASELINE.md.
 
 The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
 executors. No real cluster exists in this sandbox, so the same job runs at
@@ -296,7 +300,7 @@ Local-mode caveats (documented, not hidden):
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST_RUN.md"), "w") as f:
         f.write(md)
     print(json.dumps(report))
 
