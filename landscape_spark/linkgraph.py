@@ -225,11 +225,15 @@ def er_hash_stream(
     bound is asserted. Larger n needs 128-bit modmul + integer isqrt.
     """
     n = n_vertices
-    assert n <= (1 << 24), (
-        f"er_hash_stream supports n <= 2^24 (got {n}): the prime-stride "
-        "product and the triangular sqrt decode exceed exact int64/double "
-        "range beyond it"
-    )
+    if n > (1 << 24):
+        # a ValueError, not an assert: `python -O` strips asserts, which
+        # would silently re-enable the int64-overflow corruption this
+        # bound exists to prevent
+        raise ValueError(
+            f"er_hash_stream supports n <= 2^24 (got {n}): the prime-stride "
+            "product and the triangular sqrt decode exceed exact int64/double "
+            "range beyond it"
+        )
     n_pairs = n * (n - 1) // 2
     prime = _next_prime(max(n_pairs, 3))
     assert rounds >= 2

@@ -59,12 +59,33 @@ class SketchStreamIngestor:
         params: SketchParams,
         state_dir: str,
         num_partitions: int = 32,
+        resume: bool = False,
     ) -> None:
         self.spark = spark
         self.params = params
         self.state_dir = state_dir
         self.num_partitions = num_partitions
         self.batches_seen = 0
+        # Reusing a state_dir that already holds committed state with a FRESH
+        # stream is silent data loss: the new stream's batch ids restart at 0
+        # and the idempotency skip (absorb_batch) drops every batch until they
+        # surpass the committed batch_id. Resuming the SAME stream is the one
+        # legitimate reuse — callers opt in explicitly.
+        existing = None
+        try:
+            with open(os.path.join(state_dir, "CURRENT")) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            pass
+        if existing is not None and not resume:
+            raise ValueError(
+                f"state_dir {state_dir!r} already holds committed sketch state "
+                f"(version {existing.get('version')}, batch_id "
+                f"{existing.get('batch_id')}). Pass resume=True to continue "
+                "that stream, or use a fresh directory — attaching a NEW "
+                "stream here would silently skip every batch whose id is <= "
+                "the committed batch_id."
+            )
         # GreedyCC-style result cache: the CC labels stay valid until the
         # next absorbed batch (the reference's dsu_valid fast path,
         # /root/reference/src/graph_distrib_update.cpp:107-120) — repeated

@@ -183,15 +183,17 @@ def minhash_signatures(
             offs = np.frombuffer(bufs[1], dtype=off_dtype)[
                 ta.offset : ta.offset + len(ta) + 1
             ].astype(np.int64)
-            data = np.frombuffer(bufs[2], dtype=np.uint8)
-            start = int(offs[0])
-            seg = data[start : int(offs[-1])]
-            m = len(seg)
             lens = offs[1:] - offs[:-1]
             nw = np.maximum(lens - (n - 1), 0)
             keep = nw > 0
             if not keep.any():
+                # guard BEFORE touching the data buffer: an all-empty/all-null
+                # batch has bufs[2] = None and frombuffer would raise
                 continue
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            start = int(offs[0])
+            seg = data[start : int(offs[-1])]
+            m = len(seg)
             # every n-byte window of the batch's concatenated text, packed
             # little-endian into uint64 (doc-crossing windows masked out by
             # the per-doc segment gather below)

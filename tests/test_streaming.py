@@ -182,7 +182,7 @@ def test_state_commit_survives_crash_before_pointer_flip(spark, tmp_path):
     committed = {r.v: r.comp for r in ing.query_components(0).collect()}
     # simulate the crash window: the next version's dir exists (fully
     # written) but CURRENT was never flipped
-    ing2 = SketchStreamIngestor(spark, params, sd, num_partitions=2)
+    ing2 = SketchStreamIngestor(spark, params, sd, num_partitions=2, resume=True)
     nxt = ing2._version_dir(1)
     os.makedirs(nxt, exist_ok=True)
     open(os.path.join(nxt, "_SUCCESS"), "w").close()
@@ -193,6 +193,27 @@ def test_state_commit_survives_crash_before_pointer_flip(spark, tmp_path):
     ing2.absorb_batch(spark.createDataFrame([(3, 4)], "a long, b long"), 1)
     with open(os.path.join(sd, "CURRENT")) as f:
         assert json.load(f)["version"] == 1
+    got = {r.v: r.comp for r in ing2.query_components(0).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_state_dir_reuse_requires_explicit_resume(spark, tmp_path):
+    """Attaching a FRESH stream (batch ids restarting at 0) to a state_dir
+    with committed state would silently skip every batch until the new ids
+    surpass the committed batch_id — the constructor refuses unless the
+    caller opts into resuming."""
+    import pytest
+
+    n = 16
+    params = SketchParams.for_graph(n, seed=13)
+    sd = str(tmp_path / "reuse")
+    ing = SketchStreamIngestor(spark, params, sd, num_partitions=2)
+    ing.absorb_batch(spark.createDataFrame([(1, 2)], "a long, b long"), 5)
+    with pytest.raises(ValueError, match="resume=True"):
+        SketchStreamIngestor(spark, params, sd, num_partitions=2)
+    # explicit resume continues where the committed stream left off
+    ing2 = SketchStreamIngestor(spark, params, sd, num_partitions=2, resume=True)
+    ing2.absorb_batch(spark.createDataFrame([(3, 4)], "a long, b long"), 6)
     got = {r.v: r.comp for r in ing2.query_components(0).collect()}
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
 
