@@ -83,6 +83,139 @@ def trailing_zeros_inplace(
     np.minimum(out, cap, out=out)
 
 
+# ---------------------------------------------------------------------------
+# Vectorized XXH64 (Yann Collet's public-domain xxHash, 64-bit variant) —
+# bit-compatible with Spark SQL's `xxhash64` expression so numpy kernels can
+# fuse what would otherwise be a JVM hash + shuffle + regroup pipeline while
+# producing IDENTICAL values. Layout of the algorithm follows the public
+# xxHash spec; Spark reads words little-endian (x86 Platform.getLong).
+# ---------------------------------------------------------------------------
+
+XXP1 = np.uint64(0x9E3779B185EBCA87)
+XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+XXP3 = np.uint64(0x165667B19E3779F9)
+XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xx_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> np.uint64(33))
+    h = h * XXP2
+    h = h ^ (h >> np.uint64(29))
+    h = h * XXP3
+    return h ^ (h >> np.uint64(32))
+
+
+def _gather_le_u64(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Little-endian uint64 at arbitrary (unaligned) byte offsets ``pos``."""
+    out = np.zeros(len(pos), dtype=np.uint64)
+    for i in range(8):
+        out |= data[pos + i].astype(np.uint64) << np.uint64(8 * i)
+    return out
+
+
+def xxhash64_long(vals: np.ndarray, seed: np.ndarray | np.uint64) -> np.ndarray:
+    """XXH64 of a single 8-byte long per element (Spark's XXH64.hashLong).
+    ``seed`` may be an array — Spark folds multi-column hashes by feeding the
+    running hash in as the next column's seed."""
+    old = np.seterr(over="ignore")
+    try:
+        vals = np.asarray(vals, dtype=np.uint64)
+        h = np.asarray(seed, dtype=np.uint64) + XXP5 + np.uint64(8)
+        h = h ^ (_rotl64(vals * XXP2, 31) * XXP1)
+        h = _rotl64(h, 27) * XXP1 + XXP4
+        return _xx_fmix(h)
+    finally:
+        np.seterr(**old)
+
+
+def xxhash64_int(vals: np.ndarray, seed: np.ndarray | np.uint64) -> np.ndarray:
+    """XXH64 of a single 4-byte int per element (Spark's XXH64.hashInt —
+    what `xxhash64(..., lit(intval))` folds for an IntegerType literal)."""
+    old = np.seterr(over="ignore")
+    try:
+        v = np.asarray(vals, dtype=np.uint64) & np.uint64(0xFFFFFFFF)
+        h = np.asarray(seed, dtype=np.uint64) + XXP5 + np.uint64(4)
+        h = h ^ (v * XXP1)
+        h = _rotl64(h, 23) * XXP2 + XXP3
+        return _xx_fmix(h)
+    finally:
+        np.seterr(**old)
+
+
+def xxhash64_bytes(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int
+) -> np.ndarray:
+    """Vectorized XXH64 over T variable-length byte slices of ``data``
+    (uint8): slice t is data[starts[t] : starts[t] + lens[t]]. Matches
+    Spark's XXH64.hashUnsafeBytes on every length class (>= 32 uses the
+    4-accumulator stripes; tails are 8-byte rounds, one 4-byte round, then
+    byte rounds). Masked iteration over shrinking active sets: the loop
+    counts are max(stripes)/max(words)/3, not per-token Python work."""
+    old = np.seterr(over="ignore")
+    try:
+        starts = np.asarray(starts, dtype=np.int64)
+        lens = np.asarray(lens, dtype=np.int64)
+        T = len(starts)
+        h = np.empty(T, dtype=np.uint64)
+        sd = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+        long_idx = np.flatnonzero(lens >= 32)
+        h[lens < 32] = sd + XXP5
+        if len(long_idx):
+            nstripes = lens[long_idx] // 32
+            v1 = np.full(len(long_idx), sd + XXP1 + XXP2, dtype=np.uint64)
+            v2 = np.full(len(long_idx), sd + XXP2, dtype=np.uint64)
+            v3 = np.full(len(long_idx), sd, dtype=np.uint64)
+            v4 = np.full(len(long_idx), sd - XXP1, dtype=np.uint64)
+            off = starts[long_idx].copy()
+            for s in range(int(nstripes.max())):
+                act = np.flatnonzero(nstripes > s)
+                pos = off[act]
+                for lane, v in enumerate((v1, v2, v3, v4)):
+                    k = _gather_le_u64(data, pos + 8 * lane)
+                    v[act] = _rotl64(v[act] + k * XXP2, 31) * XXP1
+                off[act] += 32
+            hh = (
+                _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+            )
+            for v in (v1, v2, v3, v4):
+                hh = (hh ^ (_rotl64(v * XXP2, 31) * XXP1)) * XXP1 + XXP4
+            h[long_idx] = hh
+        h = h + lens.astype(np.uint64)
+        # full 8-byte words after the stripes
+        nwords = (lens % 32) // 8
+        if len(nwords) and nwords.max() > 0:
+            woff = starts + (lens // 32) * 32
+            pos = woff.copy()
+            for w in range(int(nwords.max())):
+                act = np.flatnonzero(nwords > w)
+                k = _gather_le_u64(data, pos[act])
+                h[act] = _rotl64(h[act] ^ (_rotl64(k * XXP2, 31) * XXP1), 27) * XXP1 + XXP4
+                pos[act] += 8
+        # one 4-byte round if >= 4 bytes remain
+        m4 = np.flatnonzero((lens % 8) >= 4)
+        if len(m4):
+            p = starts[m4] + (lens[m4] // 8) * 8
+            k32 = np.zeros(len(m4), dtype=np.uint64)
+            for i in range(4):
+                k32 |= data[p + i].astype(np.uint64) << np.uint64(8 * i)
+            h[m4] = _rotl64(h[m4] ^ (k32 * XXP1), 23) * XXP2 + XXP3
+        # trailing bytes (at most 3)
+        nb = lens % 4
+        bpos = starts + (lens - nb)
+        for bi in range(int(nb.max()) if len(nb) else 0):
+            act = np.flatnonzero(nb > bi)
+            byte = data[bpos[act] + bi].astype(np.uint64)
+            h[act] = _rotl64(h[act] ^ (byte * XXP5), 11) * XXP1
+        return _xx_fmix(h)
+    finally:
+        np.seterr(**old)
+
+
 def trailing_zeros(x: np.ndarray, cap: int) -> np.ndarray:
     """Vectorized count-trailing-zeros of uint64, capped at ``cap`` (geometric
     depth assignment for the l0-sampler levels).

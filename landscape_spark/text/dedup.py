@@ -367,49 +367,110 @@ def minhash_lsh_dedup(
 # SimHash (64-bit) — near-dup by Hamming distance on token-hash majorities
 # ---------------------------------------------------------------------------
 
+# Java regex \s (default flags, what regexp_extract_all('\\S+') splits on) is
+# ASCII-only: [ \t\n\x0B\f\r]. In UTF-8 no multibyte character contains an
+# ASCII byte, so BYTE-level splitting on these 6 values is exactly
+# character-level \S+ tokenization.
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[0x20, 0x09, 0x0A, 0x0B, 0x0C, 0x0D]] = True
+
+
 def simhash(docs: DataFrame, seed: int = 42) -> DataFrame:
-    """(doc_id, simhash long): sign-aggregated 64-bit token-hash sketch.
-    Tokens are hashed JVM-side (explode + xxhash64); the Arrow kernel does
-    per-doc bit-voting with add.reduceat — no per-row Python. Docs with no
-    tokens get simhash 0."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok", F.lit(seed)).alias("th"))
+    """(doc_id, simhash long): sign-aggregated 64-bit token-hash sketch,
+    computed in ONE mapInArrow scan of the documents table with ZERO shuffle
+    — tokenize + hash + bit-vote fused into a single vectorized kernel over
+    the batch's Arrow string buffers (the same zero-shuffle rework that took
+    minhash_signatures from a full-corpus exploded-token shuffle to a single
+    scan). Token hashes are BIT-IDENTICAL to the previous JVM pipeline
+    (`xxhash64(tok, lit(seed))`): hashing.xxhash64_bytes/_int reimplement
+    Spark's XXH64 exactly, so simhash values (and the downstream near-pair
+    sets) are unchanged.
+
+    Documents are unique rows, so nothing ever needed co-locating: the old
+    plan exploded every token, hashed JVM-side, then repartition(doc_id)-
+    shuffled the entire token-hash stream just to regroup rows that were
+    never apart. Docs with no tokens (incl. null text) get simhash 0.
+
+    Parallelism: same adaptive rule as minhash_signatures — a small local
+    corpus arriving as 1-2 input splits is repartitioned (raw doc rows)
+    so the kernel isn't serialized; at warehouse scale the scan has plenty
+    of splits and the plan is exchange-free."""
+    src = docs.select("doc_id", "text")
+    target = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if src.rdd.getNumPartitions() < max(2, target // 2):
+        src = src.repartition(target)
+    # match F.lit(seed)'s Catalyst type: int32 literals fold via XXH64.hashInt
+    seed_fits_int = -(1 << 31) <= seed < (1 << 31)
 
     def sh(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ids_parts, h_parts = [], []
-        for b in batches:
-            ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
-            h_parts.append(b.column("th").to_numpy(zero_copy_only=False))
-        if not ids_parts:
-            return
-        doc_ids = np.concatenate(ids_parts).astype(np.int64)
-        hs = np.concatenate(h_parts).astype(np.int64).view(np.uint64)
-        hs = splitmix64(hs)  # decorrelate from xxhash64 structure
-        order = np.argsort(doc_ids, kind="stable")
-        doc_ids, hs = doc_ids[order], hs[order]
-        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
-        counts = np.diff(np.r_[starts, len(doc_ids)])
-        G = len(starts)
-        word = np.zeros(G, dtype=np.uint64)
-        for bit in range(64):
-            ones = np.add.reduceat(
-                ((hs >> np.uint64(bit)) & np.uint64(1)).astype(np.int64), starts
-            )
-            word |= (2 * ones > counts).astype(np.uint64) << np.uint64(bit)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(doc_ids[starts], type=pa.int64()),
-                pa.array(word.view(np.int64), type=pa.int64()),
-            ],
-            names=["doc_id", "simhash"],
-        )
+        from landscape_spark.hashing import xxhash64_bytes, xxhash64_int, xxhash64_long
 
-    sigs = toks.repartition(F.col("doc_id")).mapInArrow(sh, "doc_id long, simhash long")
-    return docs.select("doc_id").join(sigs, on="doc_id", how="left").select(
-        "doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash")
-    )
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            ta = b.column("text")
+            bufs = ta.buffers()
+            off_dtype = np.int64 if pa.types.is_large_string(ta.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+                ta.offset : ta.offset + len(ta) + 1
+            ].astype(np.int64)
+            ndocs = len(ids)
+            word = np.zeros(ndocs, dtype=np.uint64)
+            if offs[-1] > offs[0] and bufs[2] is not None:
+                data = np.frombuffer(bufs[2], dtype=np.uint8)
+                start = int(offs[0])
+                seg = data[start : int(offs[-1])]
+                m = len(seg)
+                nonws = ~_WS_LUT[seg]
+                doc_start_rel = offs[:-1] - start
+                # doc boundaries force token breaks (texts are concatenated
+                # in the buffer; a token must never span two documents)
+                brk = np.zeros(m, dtype=bool)
+                nonempty = offs[1:] > offs[:-1]
+                brk[doc_start_rel[nonempty]] = True
+                prev_nonws = np.empty(m, dtype=bool)
+                prev_nonws[0] = False
+                prev_nonws[1:] = nonws[:-1]
+                tok_starts = np.flatnonzero(nonws & (~prev_nonws | brk))
+                if len(tok_starts):
+                    nxt_nonws = np.empty(m, dtype=bool)
+                    nxt_nonws[-1] = False
+                    nxt_nonws[:-1] = nonws[1:]
+                    nxt_brk = np.empty(m, dtype=bool)
+                    nxt_brk[-1] = True
+                    nxt_brk[:-1] = brk[1:]
+                    tok_ends = np.flatnonzero(nonws & (~nxt_nonws | nxt_brk)) + 1
+                    tok_lens = tok_ends - tok_starts
+                    hs = xxhash64_bytes(seg, tok_starts, tok_lens, 42)
+                    fold = xxhash64_int if seed_fits_int else xxhash64_long
+                    hs = fold(np.full(len(hs), seed, dtype=np.int64), hs)
+                    hs = splitmix64(hs)  # decorrelate from xxhash64 structure
+                    tok_doc = (
+                        np.searchsorted(doc_start_rel, tok_starts, side="right") - 1
+                    )
+                    counts = np.bincount(tok_doc, minlength=ndocs)
+                    has = counts > 0
+                    segs = np.cumsum(counts)[has] - counts[has]
+                    w = np.zeros(int(has.sum()), dtype=np.uint64)
+                    for bit in range(64):
+                        ones = np.add.reduceat(
+                            ((hs >> np.uint64(bit)) & np.uint64(1)).astype(np.int64),
+                            segs,
+                        )
+                        w |= (2 * ones > counts[has]).astype(np.uint64) << np.uint64(bit)
+                    word[has] = w
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(word.view(np.int64), type=pa.int64()),
+                ],
+                names=["doc_id", "simhash"],
+            )
+
+    return src.mapInArrow(sh, "doc_id long, simhash long")
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 42) -> DataFrame:

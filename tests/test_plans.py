@@ -89,6 +89,37 @@ def test_filter_pushdown_reaches_parquet(spark, sf_small):
     assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1].split("]")[0], plan
 
 
+def test_simhash_signature_plan_is_exchange_free(spark, sf_small):
+    """The fused simhash kernel (tokenize + xxhash64 + bit-vote in one
+    mapInArrow) must add NO shuffle — the round-3 plan shuffled the entire
+    exploded token-hash stream by doc_id just to regroup rows that were
+    never apart. With enough input splits the whole signature sub-plan is
+    exchange-free (the only permitted Exchange is the adaptive local
+    repartition of raw doc rows when the corpus arrives as 1-2 splits)."""
+    from landscape_spark.text.dedup import simhash
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .repartition(16)
+        .localCheckpoint(eager=True)
+    )
+    plan = _plan(simhash(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_minhash_signature_plan_is_exchange_free(spark, sf_small):
+    """Same pin for the MinHash signature kernel (zero-shuffle since r3)."""
+    from landscape_spark.text.dedup import minhash_signatures
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .repartition(16)
+        .localCheckpoint(eager=True)
+    )
+    plan = _plan(minhash_signatures(docs))
+    assert "Exchange" not in plan, plan
+
+
 def test_pagerank_iteration_has_no_vertex_sized_broadcast(spark, sf_small):
     """The round-2 scale defect: a per-iteration broadcast of an O(n) table.
     The only broadcast inside the rank update must be the 1-row dangling

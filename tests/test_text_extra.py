@@ -85,3 +85,88 @@ def test_knn_small_corpus_excludes_self(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label long")
     got = {r.vec_id: r.pred_label for r in knn_exact_broadcast(emb, k=5).collect()}
     assert got[0] == 1  # neighbors only; self's label 9 does not vote
+
+
+def test_numpy_xxh64_matches_spark_xxhash64(spark):
+    """The fused simhash kernel only stays bit-identical to the old JVM
+    pipeline if hashing.xxhash64_bytes/_int/_long reproduce Spark's XXH64
+    exactly — every length class (stripes / words / 4-byte / byte tails)
+    and both literal fold widths."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from landscape_spark.hashing import xxhash64_bytes, xxhash64_int, xxhash64_long
+
+    random.seed(11)
+    toks = [bytes(random.randrange(256) for _ in range(L)) for L in range(0, 70)]
+    toks += [b"x" * 255, bytes(random.randrange(256) for _ in range(997))]
+    data = np.frombuffer(b"".join(toks), dtype=np.uint8)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    h = xxhash64_bytes(data, starts, lens, 42)
+    hi = xxhash64_int(np.full(len(toks), -7, dtype=np.int64), h)
+    hl = xxhash64_long(np.full(len(toks), -7, dtype=np.int64), h)
+    df = spark.createDataFrame(
+        [(i, bytearray(t)) for i, t in enumerate(toks)], "i long, tok binary"
+    )
+    rows = sorted(
+        df.select(
+            "i",
+            F.xxhash64("tok").alias("h"),
+            F.xxhash64("tok", F.lit(-7)).alias("hi"),
+            F.xxhash64("tok", F.lit(-7).cast("long")).alias("hl"),
+        ).collect(),
+        key=lambda r: r.i,
+    )
+    assert all(np.uint64(np.int64(r.h)) == h[r.i] for r in rows)
+    assert all(np.uint64(np.int64(r.hi)) == hi[r.i] for r in rows)
+    assert all(np.uint64(np.int64(r.hl)) == hl[r.i] for r in rows)
+
+
+def test_fused_simhash_matches_jvm_token_pipeline(spark):
+    """End-to-end pin: the zero-shuffle fused kernel's simhash equals the
+    explode + xxhash64(tok, lit(seed)) + bit-vote definition on tricky
+    inputs (empty/null/whitespace-only/multibyte/tab-newline separators)."""
+    from collections import defaultdict
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from landscape_spark.hashing import splitmix64
+    from landscape_spark.text.dedup import simhash
+
+    rows = [
+        (0, "a b"),
+        (1, ""),
+        (2, None),
+        (3, "   "),
+        (4, "héllo wörld  x"),
+        (5, "nospace"),
+        (6, "tab\tsep\nline\x0bvt\x0cff\rcr"),
+        (7, "token " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok", F.lit(42)).alias("th")).collect()
+    byd = defaultdict(list)
+    for r in toks:
+        byd[r.doc_id].append(r.th)
+    ref = {}
+    for d, _ in rows:
+        hs = np.array(byd.get(d, []), dtype=np.int64).view(np.uint64)
+        if len(hs) == 0:
+            ref[d] = 0
+            continue
+        hs = splitmix64(hs)
+        w = np.uint64(0)
+        for bit in range(64):
+            ones = int(((hs >> np.uint64(bit)) & np.uint64(1)).sum())
+            if 2 * ones > len(hs):
+                w |= np.uint64(1) << np.uint64(bit)
+        ref[d] = int(np.int64(w))
+    got = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert got == ref
