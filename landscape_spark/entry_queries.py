@@ -204,6 +204,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> groups -> keeper: connected components over the exact
+    n-gram-Jaccard dup-pair graph, min-id keeper per group (the operation a
+    training-data pipeline actually executes with near-dup pairs; every
+    pair family feeds the same composition). Fully oracle-checked: the
+    DuckDB side recomputes the pairs and closes them with a recursive CTE."""
+    from landscape_spark.text import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.near_dup_groups(docs, pairs)
+
+
 def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the vector-space dedup operator).
     Exact broadcast-BLAS path at gate scale (oracle-matched all-pairs); the
@@ -271,6 +284,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
+    "dedup_groups": q_dedup_groups,
     "dedup_embedding_cosine": q_embdup,
     "dedup_embedding_ivf": q_embdup_ivf,  # rows-only: k-means blocking
     "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
@@ -453,6 +467,7 @@ keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)
 SELECT f.doc_id, k.keep_id FROM fp f JOIN keep k ON k.fp = f.fp
 """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(threshold=0.5),
+        "dedup_groups": dedup.near_dup_groups_sql(threshold=0.5),
         "dedup_embedding_cosine": embedding_near_dup_sql(threshold=0.35),
         "ann_cosine_topk": ann_sql,
     }

@@ -130,6 +130,89 @@ def ngram_jaccard_sql(threshold: float = 0.5, n: int = NGRAM) -> str:
     return NGRAM_JACCARD_SQL_TMPL.format(n=n, nm1=n - 1, threshold=threshold)
 
 
+def near_dup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, keep_id): the pairs->groups composition a training-data
+    pipeline actually runs with near-dup output — connected components over
+    the dup-pair graph, one keeper (min doc_id) per group, every unpaired
+    doc keeping itself.
+
+    ``pairs`` is any dup-pair DataFrame with (doc_lo, doc_hi) columns —
+    exact n-gram Jaccard, MinHash-LSH, SimHash, or embedding near-dup
+    output (union several families first to dedup across signals; the
+    components of the union are exactly the transitive dup groups).
+
+    Plan: CC runs ONLY over pair-incident vertices (at scale the dup-pair
+    graph is a sliver of the corpus — near-dup groups are short-diameter,
+    so min-label propagation converges in a few one-shuffle rounds), then
+    one left join assigns keepers corpus-wide; comp labels ARE min ids, so
+    the keeper needs no extra aggregation. Reuses the engine's own CC
+    operator (graph/cc.py) on the derived graph — the same machinery the
+    reference applies to its edge streams."""
+    from landscape_spark.graph.cc import connected_components_exact
+
+    edges = (
+        pairs.select(
+            F.least("doc_lo", "doc_hi").alias("a"),
+            F.greatest("doc_lo", "doc_hi").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pv = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    comp = connected_components_exact(edges, pv).withColumnRenamed("v", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, on="doc_id", how="left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("keep_id"))
+    )
+
+
+NEAR_DUP_GROUPS_SQL_TMPL = """
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         substr(text, CAST(i AS INT), {n}) AS sh
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, GREATEST(length(text) - {nm1}, 0) + 1)) AS i
+        FROM documents)
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dpairs AS MATERIALIZED (
+  SELECT doc_lo, doc_hi
+  FROM inter
+  JOIN sizes sl ON sl.doc_id = doc_lo
+  JOIN sizes sr ON sr.doc_id = doc_hi
+  WHERE CAST(inter AS DOUBLE) / (sl.sz + sr.sz - inter) >= {threshold}
+),
+sym AS MATERIALIZED (
+  SELECT doc_lo AS v, doc_hi AS w FROM dpairs
+  UNION ALL SELECT doc_hi, doc_lo FROM dpairs
+),
+cc(v, l) AS (
+  SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+  UNION
+  SELECT s.w, cc.l FROM cc JOIN sym s ON s.v = cc.v
+),
+labels AS (SELECT v, MIN(l) AS keep FROM cc GROUP BY v)
+SELECT d.doc_id AS doc_id, COALESCE(lab.keep, d.doc_id) AS keep_id
+FROM documents d LEFT JOIN labels lab ON lab.v = d.doc_id
+"""
+
+
+def near_dup_groups_sql(threshold: float = 0.5, n: int = NGRAM) -> str:
+    """DuckDB oracle for near_dup_groups over exact n-gram Jaccard pairs
+    (recursive-CTE CC + min-per-group keeper, same shape as the cc oracle)."""
+    return NEAR_DUP_GROUPS_SQL_TMPL.format(n=n, nm1=n - 1, threshold=threshold)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (scale path for near-dup at 100TB: no all-pairs join)
 # ---------------------------------------------------------------------------

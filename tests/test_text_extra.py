@@ -170,3 +170,20 @@ def test_fused_simhash_matches_jvm_token_pipeline(spark):
         ref[d] = int(np.int64(w))
     got = {r.doc_id: r.simhash for r in simhash(df).collect()}
     assert got == ref
+
+
+def test_near_dup_groups_transitive_closure(spark):
+    """A~B and B~C (without A~C) must land in ONE group with keeper
+    min(A,B,C); unpaired docs keep themselves; pair orientation and
+    duplicates don't matter."""
+    from landscape_spark.text.dedup import near_dup_groups
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 2), (6, 5), (3, 1), (5, 6)],  # dup + reversed entries
+        "doc_lo long, doc_hi long",
+    )
+    got = {r.doc_id: r.keep_id for r in near_dup_groups(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
