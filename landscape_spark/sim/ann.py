@@ -110,6 +110,50 @@ def hyperplane_signatures(
     return emb.select("vec_id", "embedding").mapInArrow(sig, "vec_id long, bucket long")
 
 
+def hyperplane_signatures_multi(
+    emb: DataFrame, n_planes: int, n_tables: int, dim: int = 64, seed: int = 42
+) -> DataFrame:
+    """(vec_id, table, bucket): signatures for ALL n_tables LSH tables in a
+    SINGLE scan of the embeddings table — one (N, L*k) matmul per batch
+    instead of L separate corpus scans (the round-3 candidate generators
+    re-scanned and re-projected the table once per LSH table; with
+    auto-tuned geometry L reaches 64, i.e. 64 scans + 64 joins).
+
+    Table t's bucket is bit-identical to
+    hyperplane_signatures(emb, n_planes, dim, seed + t*1000) — the same
+    seeded plane derivation, so prebuilt single-table signatures remain
+    interchangeable with one slice of this output."""
+    planes_all = np.concatenate(
+        [_planes(n_planes, dim, seed + t * 1000) for t in range(n_tables)], axis=0
+    )  # (L*k, dim)
+    weights = 1 << np.arange(n_planes)
+
+    def sig(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            mat = _emb_matrix(b.column("embedding"))
+            proj = mat @ planes_all.T  # (N, L*k)
+            bits = (proj > 0).astype(np.int64).reshape(len(ids), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # (N, L)
+            tbl = np.broadcast_to(
+                np.arange(n_tables, dtype=np.int64), (len(ids), n_tables)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_tables), type=pa.int64()),
+                    pa.array(tbl.reshape(-1), type=pa.int64()),
+                    pa.array(buckets.reshape(-1), type=pa.int64()),
+                ],
+                names=["vec_id", "table", "bucket"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        sig, "vec_id long, table long, bucket long"
+    )
+
+
 def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     raw = splitmix64(
         np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(seed * 0x9E3779B9)
@@ -258,21 +302,30 @@ def lsh_topk(
     tables (query-bucket collisions), exact cosine rescoring, deterministic
     ranking. At 100TB the candidate set is ~N/2^planes per table instead of N.
     Pass ``sigs`` from lsh_signature_tables to amortize the signature scans
-    across a query workload."""
-    if sigs is None:
-        sigs = [
-            hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)
-            for t in range(n_tables)
-        ]
-    assert len(sigs) == n_tables
-    cands = None
-    for t in range(n_tables):
+    across a query workload.
+
+    The inline (sigs=None) path computes all n_tables signatures in ONE
+    corpus scan (hyperplane_signatures_multi) and filters to the query's
+    per-table buckets — not one scan per table."""
+
+    def _qbucket(t: int) -> int:
         planes = _planes(n_planes, dim, seed + t * 1000)
         qproj = planes @ np.array(query, dtype=np.float64)
-        qbucket = int(((qproj > 0).astype(np.int64) * (1 << np.arange(n_planes))).sum())
-        c = sigs[t].where(F.col("bucket") == qbucket).select("vec_id")
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.distinct()
+        return int(((qproj > 0).astype(np.int64) * (1 << np.arange(n_planes))).sum())
+
+    if sigs is None:
+        multi = hyperplane_signatures_multi(emb, n_planes, n_tables, dim, seed)
+        hit = F.lit(False)
+        for t in range(n_tables):
+            hit = hit | ((F.col("table") == t) & (F.col("bucket") == _qbucket(t)))
+        cands = multi.where(hit).select("vec_id").distinct()
+    else:
+        assert len(sigs) == n_tables
+        cands = None
+        for t in range(n_tables):
+            c = sigs[t].where(F.col("bucket") == _qbucket(t)).select("vec_id")
+            cands = c if cands is None else cands.unionAll(c)
+        cands = cands.distinct()
     sim = F.round(cosine_col("embedding", query), 6).alias("sim")
     scored = emb.join(cands, on="vec_id", how="left_semi").select("vec_id", sim)
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k).select(

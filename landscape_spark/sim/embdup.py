@@ -23,7 +23,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from landscape_spark.sim.ann import _dot, _emb_matrix, hyperplane_signatures
+from landscape_spark.sim.ann import _dot, _emb_matrix, hyperplane_signatures_multi
 
 BROADCAST_THRESHOLD = 200_000  # ~100MB of float64 at dim 64
 
@@ -168,18 +168,17 @@ def embedding_near_dup_lsh(
                 RuntimeWarning,
                 stacklevel=2,
             )
-    cands = None
-    for t in range(n_tables):
-        sigs = hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)
-        a = sigs.select(F.col("vec_id").alias("id_lo"), "bucket")
-        bb = sigs.select(F.col("vec_id").alias("id_hi"), "bucket")
-        c = (
-            a.join(bb, on="bucket")
-            .where(F.col("id_lo") < F.col("id_hi"))
-            .select("id_lo", "id_hi")
-        )
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.distinct()
+    # ONE scan emits (vec_id, table, bucket) for all L tables; candidates
+    # are one self-join on the compound key — not L scans + L joins + union
+    sigs = hyperplane_signatures_multi(emb, n_planes, n_tables, dim, seed)
+    a = sigs.select(F.col("vec_id").alias("id_lo"), "table", "bucket")
+    bb = sigs.select(F.col("vec_id").alias("id_hi"), "table", "bucket")
+    cands = (
+        a.join(bb, on=["table", "bucket"])
+        .where(F.col("id_lo") < F.col("id_hi"))
+        .select("id_lo", "id_hi")
+        .distinct()
+    )
     return _rescore_pairs(emb, cands, threshold)
 
 

@@ -288,3 +288,53 @@ def test_embedding_near_dup_lsh_low_threshold_warns(spark):
         warnings.simplefilter("always")
         embdup.embedding_near_dup_lsh(emb_df, threshold=0.35).count()
     assert any("unselective" in str(x.message) for x in w)
+
+
+def test_multi_table_signatures_match_single_table(spark):
+    """hyperplane_signatures_multi's table-t slice must be bit-identical to
+    the single-table derivation with seed + t*1000 (prebuilt per-table
+    signature caches stay interchangeable with the one-pass kernel)."""
+    import numpy as np
+
+    from landscape_spark.sim import ann
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    multi = {
+        (r.vec_id, r.table): r.bucket
+        for r in ann.hyperplane_signatures_multi(
+            emb, n_planes=6, n_tables=3, dim=16, seed=42
+        ).collect()
+    }
+    for t in range(3):
+        single = {
+            r.vec_id: r.bucket
+            for r in ann.hyperplane_signatures(
+                emb, n_planes=6, dim=16, seed=42 + t * 1000
+            ).collect()
+        }
+        assert all(multi[(v, t)] == b for v, b in single.items())
+
+
+def test_lsh_candidate_plan_scans_embeddings_once(spark, sf_small):
+    """The one-pass candidate generator: all L tables' signatures come from
+    a single corpus scan whose exchange is REUSED for the self-join's other
+    side — never L scans + L joins. (AQE reuses shuffle stages at runtime
+    via the same canonical-plan equality; asserted with AQE off where the
+    reuse is visible statically.)"""
+    from landscape_spark.sim import embdup
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = embdup.embedding_near_dup_lsh(
+            emb, threshold=0.9, n_planes=10, n_tables=8
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert plan.count("ReusedExchange") >= 1, plan
+    # 1 signature scan + 2 rescore-side scans; the old path had n_tables
+    assert plan.count("Scan parquet") <= 3, plan
