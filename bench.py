@@ -203,6 +203,35 @@ def main() -> None:
         dedup_sec = min(dedup_sec, time.time() - t0)
     queries["dedup_minhash_lsh"] = round(dedup_sec, 3)
 
+    # zero-shuffle SimHash pairs (cache-clear discipline: simhash_near_pairs
+    # caches its signature table internally)
+    simhash_sec = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+        docs.count()
+        t0 = time.time()
+        dedup.simhash_near_pairs(docs, max_hamming=8).count()
+        simhash_sec = min(simhash_sec, time.time() - t0)
+    queries["simhash_pairs"] = round(simhash_sec, 3)
+
+    # substring-level dedup (sampled rolling-hash window fingerprints)
+    from landscape_spark.text.substring import substring_duplicate_pairs
+
+    queries["dedup_substring"] = best_of(
+        lambda: substring_duplicate_pairs(
+            docs, window=64, select_mod=8, min_shared=2
+        ).count(),
+        2,
+    )
+
+    # pairs -> groups -> keeper composition (CC over the dup-pair graph);
+    # pair generation is benched above, so time the composition itself
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.8).localCheckpoint(eager=True)
+    queries["dedup_groups"] = best_of(
+        lambda: dedup.near_dup_groups(docs, pairs).count(), 2
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
     t0 = time.time()

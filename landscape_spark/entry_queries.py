@@ -217,6 +217,23 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_groups(docs, pairs)
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. ACL'22 shape): pairs sharing >= 2
+    sampled 64-byte window fingerprints — partial containment that
+    document-level near-dup misses. Rows-only in the gate (the content-
+    sampled rolling-hash selection is not SQL-expressible); exactness and
+    the planted-substring detection guarantee are property-tested in
+    tests/test_substring.py."""
+    from landscape_spark.text.substring import substring_duplicate_pairs
+
+    return substring_duplicate_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        window=64,
+        select_mod=8,
+        min_shared=2,
+    )
+
+
 def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the vector-space dedup operator).
     Exact broadcast-BLAS path at gate scale (oracle-matched all-pairs); the
@@ -285,6 +302,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
     "dedup_groups": q_dedup_groups,
+    "dedup_substring": q_dedup_substring,  # rows-only: sampled rolling-hash selection
     "dedup_embedding_cosine": q_embdup,
     "dedup_embedding_ivf": q_embdup_ivf,  # rows-only: k-means blocking
     "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
@@ -567,6 +585,35 @@ def q_k_spanning_forests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forests.groupBy("forest_id").agg(F.count(F.lit(1)).alias("n_edges"))
 
 
+def q_spanning_forest_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest 0's edge count — the SQL-checkable invariant of the sketch
+    forest extractor: a spanning forest of a graph with n vertices and c
+    components has EXACTLY n - c edges, and c is computable with the same
+    recursive-CTE CC the cc oracle uses. This converts the k-forest
+    machinery's core claim ('the sampled edge set spans every component
+    acyclically') from property-tested to hash-checked against DuckDB."""
+    from landscape_spark.sketch.boruvka import k_spanning_forests
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    forest0 = k_spanning_forests(spark, und, n, k=1, seed=42)
+    return forest0.agg(F.count(F.lit(1)).alias("n_edges"))
+
+
+SPANNING_FOREST_SIZE_SQL = """
+WITH RECURSIVE {edges_cte},
+lg_sym AS (SELECT a AS v, b AS w FROM lg_undirected
+           UNION ALL SELECT b AS v, a AS w FROM lg_undirected),
+cc(v, l) AS (
+  SELECT v, v FROM lg_vertices
+  UNION
+  SELECT s.w, cc.l FROM cc JOIN lg_sym s ON s.v = cc.v
+),
+labels AS (SELECT v, MIN(l) AS comp FROM cc GROUP BY v)
+SELECT (SELECT n FROM lg_n) - COUNT(DISTINCT comp) AS n_edges FROM labels
+"""
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: synthesize the media table (real BMP payloads),
     decode with the pure-numpy BMP codec, extract intensity/edge features.
@@ -609,11 +656,15 @@ EXTRA_QUERIES.update(
         "media_image_features": q_media_image_features,  # rows-only: binary codec
         "media_audio_features": q_media_audio_features,  # rows-only: binary codec
         "k_spanning_forests": q_k_spanning_forests,  # rows-only: sketch-randomized
+        "spanning_forest_size": q_spanning_forest_size,
     }
 )
 
 EXTRA_ORACLES: dict[str, str] = {
     "batched_reachability": BATCHED_REACH_SQL.format(
+        edges_cte=linkgraph.EDGES_CTE.strip().rstrip(",")
+    ),
+    "spanning_forest_size": SPANNING_FOREST_SIZE_SQL.format(
         edges_cte=linkgraph.EDGES_CTE.strip().rstrip(",")
     ),
 }
