@@ -36,7 +36,7 @@ def main() -> None:
 
     from landscape_spark import linkgraph
     from landscape_spark.session import get_spark
-    from landscape_spark.sketch.boruvka import _cc_rounds, _initial_vmap
+    from landscape_spark.sketch.boruvka import _cc_rounds
     from landscape_spark.sketch.build import build_group_slices
     from landscape_spark.sketch.l0 import SketchParams
 

@@ -39,6 +39,7 @@ def pagerank(
     checkpoint_every: int = 5,
     start_ranks: DataFrame | None = None,
     start_iter: int = 0,
+    lineage_every: int | None = None,
 ) -> DataFrame:
     """Return (v, pr_score) after ``iters`` synchronous power iterations
     (or earlier if ``tol`` given and max |delta| < tol).
@@ -52,6 +53,20 @@ def pagerank(
     restarts from the latest saved iteration; ``start_ranks``/``start_iter``
     are its hooks (a caller-provided rank table with columns
     (v, r, is_dang) and the iteration it corresponds to).
+
+    ``lineage_every``: cut lineage with an eager action only every B
+    iterations (values are identical for any B; the last iteration always
+    materializes). Default None auto-selects: B=2 when the edge relation is
+    small enough that per-iteration driver fixed costs dominate (measured
+    best-of-5 3.45s -> 3.04s per 10 iters on the 60k-edge sf0.1 graph),
+    B=1 otherwise — on work-bound graphs the lazy batch re-executes the
+    doubly-referenced rank sub-plan (the dangling scan is a broadcast
+    subquery AQE does not exchange-dedup against the main plan) and
+    measures ~10-15% WORSE at 8M edges, consistent with the round-3
+    chain-rejection record in BENCH/BASELINE.md. Forced to 1 when ``tol``
+    is set (the convergence check materializes every iteration anyway);
+    with ``checkpoint_dir`` use a B that divides checkpoint_every or the
+    durable save will recompute the tail since the last cut.
     """
     n = float(n_vertices)
     spark = edges.sparkSession
@@ -63,7 +78,7 @@ def pagerank(
         .repartition(num_part, "src")
         .cache()
     )
-    ew.count()  # materialize once; every iteration reuses this partitioning
+    n_edges = ew.count()  # materialize once; every iteration reuses this partitioning
 
     # static dangling flag: outdeg(v) = 0. Computed ONCE, carried through the
     # rank table so the per-iteration dangling mass is a filtered sum of
@@ -92,6 +107,14 @@ def pagerank(
 
     import time as _time
 
+    if lineage_every is None:
+        # driver-overhead-bound regime (sub-second iterations): batch 2
+        # iterations per action; work-bound regime: cut every iteration
+        lineage_every = 2 if n_edges < 1_000_000 else 1
+    if tol is not None:
+        lineage_every = 1
+    lineage_every = max(1, int(lineage_every))
+
     for _it in range(start_iter, iters):
         contrib = (
             ew.join(ranks, ew.src == ranks.v)
@@ -100,9 +123,10 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         # dangling mass as a 1-row DF folded into the plan (no driver
-        # collect: the whole iteration is ONE job triggered by the
-        # checkpoint, and this side is a scan of the already-checkpointed
-        # ranks — no join, no O(n) exchange)
+        # collect; this side is a scan of the previous rank state — no
+        # join, no O(n) exchange. On lineage-batched iterations the scan's
+        # sub-plan shares its exchanges with the main side, so the work
+        # still happens once per iteration.)
         dangling_df = ranks.where("is_dang").agg(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang")
         )
@@ -119,7 +143,15 @@ def pagerank(
                 "is_dang",
             )
         )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        # lineage cut: an EAGER action only every lineage_every iterations
+        # (and always on the last) — intermediate iterations stay lazy, so
+        # a batch of B iterations is ONE Spark action whose B contrib
+        # exchanges each execute once (exchange reuse inside the action
+        # dedups the dangling sub-plans). Cuts per-iteration driver
+        # scheduling + block-materialization fixed costs ~B-fold at small
+        # inputs without changing any value.
+        if (_it + 1 - start_iter) % lineage_every == 0 or _it == iters - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         if tol is not None:
             delta = (
                 new_ranks.join(

@@ -85,16 +85,6 @@ class DSU:
         return True
 
 
-def _initial_vmap(und_edges: DataFrame) -> DataFrame:
-    return (
-        und_edges.select(F.col("a").alias("v"))
-        .unionAll(und_edges.select(F.col("b").alias("v")))
-        .distinct()
-        .select("v", F.col("v").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
-
-
 def _star_contraction(pairs: DataFrame) -> DataFrame:
     """Distributed connected components of the (tiny relative to the graph)
     sampled component-pair graph: alternating large-star / small-star
@@ -111,6 +101,29 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _stats(df: DataFrame):
+        """One-job convergence certificate: (count, sum x, sum y, two
+        independently-seeded mod-2^31 hash sums) — an unordered-set
+        fingerprint. Distinct edge sets with equal stats need BOTH hash
+        sums to collide (~2^-62 per round), the same w.h.p. class as the
+        sketches themselves. Mersenne-prime mods keep the ANSI-mode sums
+        exact (a raw sum of 64-bit hashes overflows long); overflow needs
+        > 2^32 pair rows, far past the contracted-graph regime. Replaces
+        the earlier count() + exceptAll() probe (two comparison jobs per
+        round) with a single aggregate on the new set; the previous
+        round's stats are remembered, not recomputed."""
+        p = F.lit((1 << 31) - 1)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.pmod(F.xxhash64("x", "y", F.lit(1)), p)).alias("h1"),
+            F.sum(F.pmod(F.xxhash64("x", "y", F.lit(2)), p)).alias("h2"),
+        ).first()
+        return (r.n, r.sx, r.sy, r.h1, r.h2)
+
+    e_stats = _stats(e)
     while True:
         # large-star: every node links its strictly-larger neighbors to
         # min(N(u) ∪ {u})
@@ -138,9 +151,10 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if ss.count() == e.count() and ss.exceptAll(e).isEmpty():
+        ss_stats = _stats(ss)
+        if ss_stats == e_stats:
             break
-        e = ss
+        e, e_stats = ss, ss_stats
     # converged: every edge is (root=min, leaf)
     return e.select(F.col("y").alias("old_comp"), F.col("x").alias("new_comp"))
 

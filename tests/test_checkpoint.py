@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 from landscape_spark.checkpoint import RoundCheckpointer
 from landscape_spark.sketch.boruvka import (
     _cc_rounds,
-    _initial_vmap,
     components_with_isolated,
     connected_components_sketch,
     resume_connected_components,
@@ -19,6 +18,18 @@ from landscape_spark.sketch.boruvka import (
 from landscape_spark.sketch.build import build_group_slices
 from landscape_spark.sketch.l0 import SketchParams
 from tests.test_cc import _nx_canonical_components, multiples_graph_edges
+
+
+def _vmap0(und_edges):
+    """Identity vmap over edge-incident vertices (the _cc_rounds entry
+    state; inlined here from the production path's inlined form)."""
+    return (
+        und_edges.select(F.col("a").alias("v"))
+        .unionAll(und_edges.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
 
 
 def test_resume_mid_iteration_identical(spark, tmp_path):
@@ -45,7 +56,7 @@ def test_resume_mid_iteration_identical(spark, tmp_path):
 
     with pytest.warns(RuntimeWarning, match="budget exhausted"):
         _cc_rounds(
-            spark, slices, _initial_vmap(e), one_round,
+            spark, slices, _vmap0(e), one_round,
             start_group=0, num_partitions=4, ckpt=ckpt,
         )
     assert ckpt.latest_round() == 0
