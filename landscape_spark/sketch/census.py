@@ -282,6 +282,41 @@ def variant_ablation(n: int = 1024, n_seeds: int = 6) -> list[dict]:
     return out
 
 
+def level_mix_ablation(n: int = 1024, n_seeds: int = 6) -> list[dict]:
+    """Full-splitmix vs fast level-hash A/B (hashing.fastmix_inplace): the
+    ingest kernel spends ~29% of its time deriving per-column level hashes;
+    the fast path halves that derivation. The census is the gate for
+    adopting it — the sampling failure analysis only needs per-column
+    geometric level distributions with negligible cross-column correlation,
+    and this measures the failure rate under the REAL Boruvka loop."""
+    lg = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    out = []
+    for mix in ("splitmix", "fast"):
+        attempts = failures = 0
+        max_rounds = 0
+        for shape, edges in graph_shapes(n).items():
+            for s in range(n_seeds):
+                p = SketchParams(
+                    n=n, rounds=lg + 8, cols=3, depths=lg + 4, seed=6000 + s,
+                    level_mix=mix,
+                )
+                a, f, r, _ = census_one(n, edges, seed=6000 + s, params=p)
+                attempts += a
+                failures += f
+                max_rounds = max(max_rounds, r)
+        out.append(
+            {
+                "level_mix": mix,
+                "n": n,
+                "attempts": attempts,
+                "failures": failures,
+                "failure_rate": round(failures / attempts, 6) if attempts else 0.0,
+                "max_rounds_used": max_rounds,
+            }
+        )
+    return out
+
+
 if __name__ == "__main__":
     import json
 
@@ -290,4 +325,6 @@ if __name__ == "__main__":
     for row in ablation_sweep():
         print(json.dumps(row))
     for row in variant_ablation():
+        print(json.dumps(row))
+    for row in level_mix_ablation():
         print(json.dumps(row))

@@ -60,6 +60,17 @@ class SketchParams:
     #            denser shallow levels. Same GOOD-bucket test, same
     #            linearity; A/B'd in sketch/census.variant_ablation.
     variant: str = "cameo"
+    # Level-hash derivation for (update, column):
+    #   "splitmix": full splitmix64(code ^ seed(g,c)) per column — 9 ufunc
+    #               passes; the conservative default.
+    #   "fast":     splitmix64(code) ONCE per update, then per column a
+    #               half-cost propagate-multiply-propagate finalizer of
+    #               (h0 ^ seed(g,c)) — 5 passes. Census-validated
+    #               (sketch/census.py fast-mix ablation) before use; the
+    #               sampling failure analysis only needs per-column
+    #               geometric levels with negligible cross-column
+    #               correlation, both measured.
+    level_mix: str = "splitmix"
 
     @staticmethod
     def for_graph(n: int, seed: int = 42, cols: int = 3, extra_rounds: int = 6) -> "SketchParams":
@@ -151,8 +162,13 @@ def build_sketches(
     # fresh 512KB temporaries per column would mmap/munmap on every call —
     # both collapse under 32 concurrent executors. This loop allocates
     # nothing inside the hot path.
-    from landscape_spark.hashing import splitmix64_inplace, trailing_zeros_inplace
+    from landscape_spark.hashing import (
+        fastmix_inplace,
+        splitmix64_inplace,
+        trailing_zeros_inplace,
+    )
 
+    fast = params.level_mix == "fast"
     E0 = min(chunk, len(codes))
     h = np.empty(E0, dtype=np.uint64)
     tmp = np.empty(E0, dtype=np.uint64)
@@ -167,13 +183,18 @@ def build_sketches(
             continue
         hE, tmpE, f64E, dE, flatE = h[:E], tmp[:E], f64[:E], d[:E], flat[:E]
         chks = checksum(cs)
+        h0 = splitmix64(cs) if fast else None  # one full mix per update
         det_flat = ls * row_len  # deterministic bucket once per update
         np.bitwise_xor.at(o, det_flat, cs)
         np.bitwise_xor.at(o, det_flat + 1, chks)
         val_base = det_flat + 2
         for rc in range(RC):
-            np.bitwise_xor(cs, seeds[rc], out=hE)
-            splitmix64_inplace(hE, tmpE)
+            if fast:
+                np.bitwise_xor(h0, seeds[rc], out=hE)
+                fastmix_inplace(hE, tmpE)
+            else:
+                np.bitwise_xor(cs, seeds[rc], out=hE)
+                splitmix64_inplace(hE, tmpE)
             trailing_zeros_inplace(hE, D - 1, f64E, dE, tmpE)
             if params.variant == "cube":
                 # prefix subsampling: XOR into EVERY level 0..tz (level d is

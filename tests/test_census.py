@@ -68,3 +68,37 @@ def test_cube_variant_converges_and_linear():
         m[int(v)] ^= s
     for v, s in zip(vu, su):
         assert np.array_equal(m[int(v)], s)
+
+
+def test_fast_level_mix_converges_and_linear():
+    """The half-cost level-hash derivation (hashing.fastmix_inplace) must
+    show failure-rate parity with the full splitmix derivation in the
+    census and preserve linearity. (Kept as a validated ablation, NOT the
+    default: the measured kernel speedup is only ~3% — the kernel is
+    scatter/DRAM-bound, not hash-arithmetic-bound.)"""
+    import numpy as np
+
+    from landscape_spark.sketch.census import level_mix_ablation
+    from landscape_spark.sketch.l0 import SketchParams, build_sketches, edge_code
+
+    rows = level_mix_ablation(n=128, n_seeds=2)
+    by = {r["level_mix"]: r for r in rows}
+    assert by["fast"]["failure_rate"] < 0.1
+    assert by["fast"]["max_rounds_used"] <= by["splitmix"]["max_rounds_used"] + 2
+    p = SketchParams(n=32, rounds=4, cols=3, depths=9, seed=5, level_mix="fast")
+    ea = np.array([0, 1, 2], dtype=np.int64)
+    eb = np.array([1, 2, 3], dtype=np.int64)
+    ca = edge_code(ea, ea + 4, 32)
+    cb = edge_code(eb, eb + 9, 32)
+    va, sa = build_sketches(ea, ca, p)
+    vb, sb = build_sketches(eb, cb, p)
+    vu, su = build_sketches(np.concatenate([ea, eb]), np.concatenate([ca, cb]), p)
+    import collections
+
+    m = collections.defaultdict(lambda: np.zeros(p.n_slots, dtype=np.uint64))
+    for v, s in zip(va, sa):
+        m[int(v)] ^= s
+    for v, s in zip(vb, sb):
+        m[int(v)] ^= s
+    for v, s in zip(vu, su):
+        assert np.array_equal(m[int(v)], s)
