@@ -189,31 +189,31 @@ def main() -> None:
     from landscape_spark.sim import ann
     from landscape_spark.text import dedup
 
-    # best-of-2 min-time with a cache clear between reps: the pipeline
-    # caches its signature table internally and Spark's plan-keyed cache
-    # would otherwise turn rep 2 into a cache read (see memory: persist is
-    # keyed by the canonicalized plan)
-    dedup_sec = float("inf")
-    for _ in range(3):
-        spark.catalog.clearCache()
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
-        docs.count()
-        t0 = time.time()
-        dedup.minhash_lsh_dedup(docs, threshold=0.8).count()
-        dedup_sec = min(dedup_sec, time.time() - t0)
-    queries["dedup_minhash_lsh"] = round(dedup_sec, 3)
+    def best_of_docs(opfn, reps):
+        """Min-time over reps, each on a FRESHLY cached documents table
+        after a full cache clear: these pipelines cache signature tables
+        internally and Spark's plan-keyed cache would otherwise turn later
+        reps into cache reads (persist is keyed by the canonicalized
+        plan). Returns (best_sec, last docs DF) so later rows reuse the
+        warm cache."""
+        best, d = float("inf"), None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            d = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+            d.count()
+            t0 = time.time()
+            opfn(d)
+            best = min(best, time.time() - t0)
+        return round(best, 3), d
 
-    # zero-shuffle SimHash pairs (cache-clear discipline: simhash_near_pairs
-    # caches its signature table internally)
-    simhash_sec = float("inf")
-    for _ in range(2):
-        spark.catalog.clearCache()
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
-        docs.count()
-        t0 = time.time()
-        dedup.simhash_near_pairs(docs, max_hamming=8).count()
-        simhash_sec = min(simhash_sec, time.time() - t0)
-    queries["simhash_pairs"] = round(simhash_sec, 3)
+    queries["dedup_minhash_lsh"], docs = best_of_docs(
+        lambda d: dedup.minhash_lsh_dedup(d, threshold=0.8).count(), 3
+    )
+
+    # zero-shuffle SimHash pairs
+    queries["simhash_pairs"], docs = best_of_docs(
+        lambda d: dedup.simhash_near_pairs(d, max_hamming=8).count(), 2
+    )
 
     # substring-level dedup (sampled rolling-hash window fingerprints)
     from landscape_spark.text.substring import substring_duplicate_pairs

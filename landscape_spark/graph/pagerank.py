@@ -18,8 +18,9 @@ carried as a boolean column of the rank table — the dangling mass is then a
 plain filtered aggregate of the checkpointed ranks (a 1-row broadcast), with
 NO per-iteration O(n) join or broadcast anywhere in the loop (at 10^9
 vertices a per-iteration vertex-set broadcast is a driver OOM). Each
-iteration is exactly one eager job (the localCheckpoint) containing one
-shuffle (the contrib groupBy).
+LINEAGE BATCH (lineage_every iterations; 1 on work-bound graphs) is one
+eager job (the localCheckpoint) containing one shuffle per iteration (the
+contrib groupBy).
 """
 
 from __future__ import annotations
@@ -109,8 +110,13 @@ def pagerank(
 
     if lineage_every is None:
         # driver-overhead-bound regime (sub-second iterations): batch 2
-        # iterations per action; work-bound regime: cut every iteration
-        lineage_every = 2 if n_edges < 1_000_000 else 1
+        # iterations per action; work-bound regime: cut every iteration.
+        # With durable checkpoints the auto path stays at 1 — a batch size
+        # that doesn't divide checkpoint_every would make every parquet
+        # save re-execute the uncut tail (the docstring's own warning).
+        lineage_every = (
+            2 if (n_edges < 1_000_000 and checkpoint_dir is None) else 1
+        )
     if tol is not None:
         lineage_every = 1
     lineage_every = max(1, int(lineage_every))

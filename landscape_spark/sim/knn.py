@@ -22,7 +22,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from landscape_spark.sim.ann import _dot, _emb_matrix, hyperplane_signatures
+from landscape_spark.sim.ann import _dot, _emb_matrix, hyperplane_signatures_multi
 
 BROADCAST_THRESHOLD = 200_000  # ~50MB of float32 at dim 64
 
@@ -104,21 +104,21 @@ def knn_lsh(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate kNN: candidates = same-LSH-bucket pairs from n_tables
-    independent hyperplane tables; exact cosine rescoring of candidates only;
-    per-query top-k window (partitioned by qid — no global window). Vectors
-    with zero candidates keep their own label (degenerate fallback)."""
-    cands = None
-    for t in range(n_tables):
-        sigs = hyperplane_signatures(emb, n_planes, dim, seed + t * 1000)
-        a = sigs.select(F.col("vec_id").alias("qid"), "bucket")
-        bb = sigs.select(F.col("vec_id").alias("nid"), "bucket")
-        c = (
-            a.join(bb, on="bucket")
-            .where(F.col("qid") != F.col("nid"))
-            .select("qid", "nid")
-        )
-        cands = c if cands is None else cands.unionAll(c)
-    cands = cands.distinct()
+    independent hyperplane tables — all tables' signatures from ONE corpus
+    scan (hyperplane_signatures_multi) and one self-join on the compound
+    (table, bucket) key, like the near-dup/lsh_topk candidate generators;
+    exact cosine rescoring of candidates only; per-query top-k window
+    (partitioned by qid — no global window). Vectors with zero candidates
+    keep their own label (degenerate fallback)."""
+    sigs = hyperplane_signatures_multi(emb, n_planes, n_tables, dim, seed)
+    a = sigs.select(F.col("vec_id").alias("qid"), "table", "bucket")
+    bb = sigs.select(F.col("vec_id").alias("nid"), "table", "bucket")
+    cands = (
+        a.join(bb, on=["table", "bucket"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
     qe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     ne = emb.select(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "label"

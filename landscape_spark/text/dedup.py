@@ -103,20 +103,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return out
 
 
-NGRAM_JACCARD_SQL_TMPL = """
-WITH sh AS (
+# Shared n-gram pair-generation CTEs (shingles -> sizes -> intersections):
+# formatted into BOTH the ngram_jaccard oracle and the near_dup_groups
+# oracle so the two can never silently drift to different pair semantics.
+# MATERIALIZED throughout: DuckDB inlines plain CTEs per reference, and sh
+# is referenced twice by the self-join (and everything repeatedly by the
+# groups oracle's recursive closure).
+_PAIR_CTES_TMPL = """sh AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          substr(text, CAST(i AS INT), {n}) AS sh
   FROM (SELECT doc_id, text,
                UNNEST(range(1, GREATEST(length(text) - {nm1}, 0) + 1)) AS i
         FROM documents)
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, COUNT(*) AS inter
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
+)"""
+
+NGRAM_JACCARD_SQL_TMPL = (
+    "WITH " + _PAIR_CTES_TMPL + """
 SELECT doc_lo, doc_hi,
        ROUND(CAST(inter AS DOUBLE) / (sl.sz + sr.sz - inter), 6) AS jac
 FROM inter
@@ -124,6 +132,7 @@ JOIN sizes sl ON sl.doc_id = doc_lo
 JOIN sizes sr ON sr.doc_id = doc_hi
 WHERE CAST(inter AS DOUBLE) / (sl.sz + sr.sz - inter) >= {threshold}
 """
+)
 
 
 def ngram_jaccard_sql(threshold: float = 0.5, n: int = NGRAM) -> str:
@@ -171,20 +180,8 @@ def near_dup_groups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-NEAR_DUP_GROUPS_SQL_TMPL = """
-WITH RECURSIVE sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id,
-         substr(text, CAST(i AS INT), {n}) AS sh
-  FROM (SELECT doc_id, text,
-               UNNEST(range(1, GREATEST(length(text) - {nm1}, 0) + 1)) AS i
-        FROM documents)
-),
-sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS MATERIALIZED (
-  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
+NEAR_DUP_GROUPS_SQL_TMPL = (
+    "WITH RECURSIVE " + _PAIR_CTES_TMPL + """,
 dpairs AS MATERIALIZED (
   SELECT doc_lo, doc_hi
   FROM inter
@@ -205,6 +202,7 @@ labels AS (SELECT v, MIN(l) AS keep FROM cc GROUP BY v)
 SELECT d.doc_id AS doc_id, COALESCE(lab.keep, d.doc_id) AS keep_id
 FROM documents d LEFT JOIN labels lab ON lab.v = d.doc_id
 """
+)
 
 
 def near_dup_groups_sql(threshold: float = 0.5, n: int = NGRAM) -> str:
