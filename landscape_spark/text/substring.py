@@ -150,6 +150,12 @@ def substring_duplicate_pairs(
     cap is the standard move in substring-dedup pipelines; raise it only
     with a matching raise in cluster resources). One shuffle on fp."""
     fp = substring_fingerprints(docs, window=window, select_mod=select_mod, seed=seed)
+    # the fingerprint relation is referenced four ways below (count, semi
+    # join, both self-join sides); materialize it once so the scan +
+    # rolling-hash kernel run exactly once regardless of exchange-reuse
+    # luck (the table is ~bytes/select_mod rows of two longs — far smaller
+    # than the corpus it replaces)
+    fp = fp.localCheckpoint(eager=False)
     cnt = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     ok = cnt.where(F.col("n_docs") <= max_docs_per_fp).select("fp")
     fp = fp.join(ok, on="fp", how="left_semi")
