@@ -234,6 +234,35 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_FRACTIONS = {"en": 0.9, "zh": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (mixing weights per lang).
+    Content-keyed md5 thresholding: the selected row set is invariant to
+    partitioning / cluster size / row order — unlike df.sample, whose
+    per-partition seeding changes the sample whenever the layout does —
+    and the md5 is engine-portable, so the oracle is exact."""
+    from landscape_spark.text.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, CORPUS_FRACTIONS, strata_col="lang", default_fraction=0.3
+    ).select("doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training docs sharing any exact
+    64-char n-gram with the benchmark set (here: every 20th doc, standing
+    in for an eval suite). The benchmark n-gram side is tiny and
+    hash-joins against one scan of the corpus shingle stream."""
+    from landscape_spark.text.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, n=64)
+
+
 def q_embdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the vector-space dedup operator).
     Exact broadcast-BLAS path at gate scale (oracle-matched all-pairs); the
@@ -303,6 +332,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
     "dedup_groups": q_dedup_groups,
     "dedup_substring": q_dedup_substring,  # rows-only: sampled rolling-hash selection
+    "corpus_sample_stratified": q_corpus_sample,
+    "decontaminate": q_decontaminate,
     "dedup_embedding_cosine": q_embdup,
     "dedup_embedding_ivf": q_embdup_ivf,  # rows-only: k-means blocking
     "simhash_pairs": q_simhash_pairs,  # rows-only: 64-bit simhash not SQL-expressible
@@ -450,6 +481,20 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
 }
 
 
+def _corpus_sample_sql() -> str:
+    from landscape_spark.text.corpus import stratified_sample_sql
+
+    return stratified_sample_sql(
+        CORPUS_FRACTIONS, strata_col="lang", default_fraction=0.3
+    )
+
+
+def _decontaminate_sql() -> str:
+    from landscape_spark.text.corpus import decontaminate_sql
+
+    return decontaminate_sql(n=64, bench_pred="doc_id % 20 = 0")
+
+
 def _text_oracles() -> dict[str, str]:
     from landscape_spark.sim.embdup import embedding_near_dup_sql
     from landscape_spark.text import analysis, dedup
@@ -486,6 +531,8 @@ SELECT f.doc_id, k.keep_id FROM fp f JOIN keep k ON k.fp = f.fp
 """,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(threshold=0.5),
         "dedup_groups": dedup.near_dup_groups_sql(threshold=0.5),
+        "corpus_sample_stratified": _corpus_sample_sql(),
+        "decontaminate": _decontaminate_sql(),
         "dedup_embedding_cosine": embedding_near_dup_sql(threshold=0.35),
         "ann_cosine_topk": ann_sql,
     }
