@@ -120,6 +120,30 @@ def test_minhash_signature_plan_is_exchange_free(spark, sf_small):
     assert "Exchange" not in plan, plan
 
 
+def test_substring_fingerprint_plan_is_exchange_free(spark, sf_small):
+    """Same pin for the rolling-hash window fingerprint kernel."""
+    from landscape_spark.text.substring import substring_fingerprints
+
+    docs = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .repartition(16)
+        .localCheckpoint(eager=True)
+    )
+    plan = _plan(substring_fingerprints(docs, window=50, select_mod=8))
+    assert "Exchange" not in plan, plan
+
+
+def test_sample_predicate_is_pushdown_friendly(spark, sf_small):
+    """deterministic_sample must stay a pure predicate over the scan — a
+    Filter directly on the file source, no shuffle, no join, no window."""
+    from landscape_spark.text.corpus import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(deterministic_sample(docs, 0.3).select("doc_id"))
+    for bad in ("Exchange", "Join", "Window"):
+        assert bad not in plan, plan
+
+
 def test_pagerank_iteration_has_no_vertex_sized_broadcast(spark, sf_small):
     """The round-2 scale defect: a per-iteration broadcast of an O(n) table.
     The only broadcast inside the rank update must be the 1-row dangling
