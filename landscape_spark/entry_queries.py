@@ -170,6 +170,17 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analysis.fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals (word-level:
+    duplicate-word fraction + top-bigram fraction) — pure JVM projection,
+    fully oracle-checked."""
+    from landscape_spark.text import analysis
+
+    return analysis.repetition_signals(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.text import dedup
 
@@ -327,6 +338,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
+    "repetition_signals": q_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
@@ -524,6 +536,7 @@ SELECT vec_id, sim FROM (
         "quality_score": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,
         "doc_fingerprint": analysis.FINGERPRINT_SQL,
+        "repetition_signals": analysis.REPETITION_SQL,
         "dedup_exact": """
 WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
 keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)

@@ -150,3 +150,79 @@ SELECT doc_id, {pred} AS pred_lang FROM b
 LANG_ID_SQL = _lang_id_sql()
 
 FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals (Rae et al. 2021,
+    public filter family), word-level (the synthetic corpus has no line
+    structure): (doc_id, dup_word_frac, top_bigram_frac).
+
+    * dup_word_frac: 1 - distinct_words / total_words — mass of repeated
+      vocabulary (0 for empty docs).
+    * top_bigram_frac: occurrences of the most frequent word bigram /
+      total bigrams (0 when fewer than 2 words). Only the max COUNT is
+      emitted, so no tie-break is needed.
+
+    Pure JVM column expressions over the split word array — no shuffle, no
+    UDF; the whole thing is one projection over the scan."""
+    words = F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+    w = F.expr("words")
+    nw = F.size(w)
+    distinct_frac = F.when(
+        nw > 0,
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / nw.cast("double"),
+    ).otherwise(F.lit(0.0))
+    bigrams = F.expr(
+        "transform(sequence(0, size(words) - 2), i -> words[i] || ' ' || words[i+1])"
+    )
+    # top bigram count via aggregate over the distinct bigram list: for each
+    # candidate, count occurrences in the full list, take the max
+    top_cnt = F.expr(
+        "aggregate(array_distinct(bigrams), 0, (acc, b) ->"
+        " greatest(acc, size(filter(bigrams, x -> x = b))))"
+    )
+    top_frac = F.when(
+        F.size(F.col("bigrams")) > 0,
+        top_cnt.cast("double") / F.size(F.col("bigrams")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id", words.alias("words"))
+        .withColumn("bigrams", F.when(nw >= 2, bigrams).otherwise(F.array()))
+        .select(
+            "doc_id",
+            F.round(distinct_frac, 6).alias("dup_word_frac"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+        )
+    )
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+uni AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0
+              THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len(words) >= 2
+              THEN [words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]
+              ELSE [] END AS bigrams
+  FROM w
+),
+top AS (
+  SELECT doc_id, dup_word_frac,
+         CASE WHEN len(bigrams) > 0
+              THEN CAST(list_aggregate(
+                     list_transform(list_distinct(bigrams),
+                       b -> len(list_filter(bigrams, x -> x = b))),
+                     'max') AS DOUBLE) / len(bigrams)
+              ELSE 0.0 END AS top_bigram_frac
+  FROM uni
+)
+SELECT doc_id, ROUND(dup_word_frac, 6) AS dup_word_frac,
+       ROUND(top_bigram_frac, 6) AS top_bigram_frac
+FROM top
+"""

@@ -187,3 +187,29 @@ def test_near_dup_groups_transitive_closure(spark):
     )
     got = {r.doc_id: r.keep_id for r in near_dup_groups(docs, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computed repetition fractions, incl. empty/null/single-word
+    degenerate docs (size(null array) is -1 in Spark — the guards must
+    treat it as empty, matching the SQL oracle's NULL CASE fallthrough)."""
+    from landscape_spark.text.analysis import repetition_signals
+
+    rows = [
+        (0, "a b a b"),    # 2 distinct of 4 words -> dup 0.5; bigrams
+                           # [a b, b a, a b] -> top 2/3
+        (1, ""),
+        (2, None),
+        (3, "solo"),
+        (4, "x y z"),      # all distinct -> dup 0; all bigrams unique -> 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_word_frac, r.top_bigram_frac)
+        for r in repetition_signals(df).collect()
+    }
+    assert got[0] == (0.5, round(2 / 3, 6))
+    assert got[1] == (0.0, 0.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.5)
