@@ -181,6 +181,42 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_INJECT_SQL = (
+    "SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS text FROM documents"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically PII-injected corpus (the
+    synthetic documents contain no contact info, so the gate plants one
+    email + one IPv4 per doc — identically on both engines — to make the
+    rewrite non-trivial). Clean text is md5'd to keep compare rows small."""
+    from landscape_spark.text.pii import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(injected).select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_fp"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.text import dedup
 
@@ -339,6 +375,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "repetition_signals": q_repetition,
+    "pii_scrub": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
@@ -493,6 +530,16 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
 }
 
 
+def _pii_scrub_oracle() -> str:
+    from landscape_spark.text.pii import pii_scrub_sql
+
+    inner = pii_scrub_sql(source_sql=PII_INJECT_SQL)
+    return (
+        f"SELECT doc_id, n_emails, n_ips, n_phones, md5(clean_text) AS clean_fp "
+        f"FROM ({inner})"
+    )
+
+
 def _corpus_sample_sql() -> str:
     from landscape_spark.text.corpus import stratified_sample_sql
 
@@ -537,6 +584,7 @@ SELECT vec_id, sim FROM (
         "lang_id": analysis.LANG_ID_SQL,
         "doc_fingerprint": analysis.FINGERPRINT_SQL,
         "repetition_signals": analysis.REPETITION_SQL,
+        "pii_scrub": _pii_scrub_oracle(),
         "dedup_exact": """
 WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
 keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)
