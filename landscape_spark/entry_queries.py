@@ -217,6 +217,59 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training-data run executes,
+    composed from the engine's own operators — exact dedup (keep min-id
+    representative) -> quality floor -> repetition ceiling -> deterministic
+    sample — returning the surviving corpus. Each stage is individually
+    oracle-checked elsewhere; this gate checks the COMPOSITION (one
+    DataFrame plan end to end: the filters are joins/predicates over
+    single-scan projections, no Python anywhere)."""
+    from landscape_spark.text import analysis, dedup
+    from landscape_spark.text.corpus import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = dedup.exact_duplicates(docs).where(
+        F.col("keep_id") == F.col("doc_id")
+    ).select("doc_id")
+    good = analysis.quality_score(docs).where(F.col("quality") >= 0.3).select("doc_id")
+    tame = (
+        analysis.repetition_signals(docs)
+        .where(F.col("dup_word_frac") <= 0.65)
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(reps, on="doc_id", how="left_semi")
+        .join(good, on="doc_id", how="left_semi")
+        .join(tame, on="doc_id", how="left_semi")
+    )
+    return deterministic_sample(kept, 0.8).select("doc_id")
+
+
+def _curate_corpus_sql() -> str:
+    from landscape_spark.text import analysis
+    from landscape_spark.text.corpus import deterministic_sample_sql
+
+    sample = deterministic_sample_sql(0.8).strip()
+    return f"""
+WITH reps AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents
+  ) WHERE doc_id = keep_id
+),
+good AS (SELECT doc_id FROM ({analysis.QUALITY_SQL}) WHERE quality >= 0.3),
+tame AS (SELECT doc_id FROM ({analysis.REPETITION_SQL}) WHERE dup_word_frac <= 0.65),
+sampled AS ({sample})
+SELECT d.doc_id AS doc_id
+FROM documents d
+JOIN reps USING (doc_id)
+JOIN good USING (doc_id)
+JOIN tame USING (doc_id)
+JOIN sampled USING (doc_id)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.text import dedup
 
@@ -376,6 +429,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "repetition_signals": q_repetition,
     "pii_scrub": q_pii_scrub,
+    "curate_corpus": q_curate_corpus,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
@@ -585,6 +639,7 @@ SELECT vec_id, sim FROM (
         "doc_fingerprint": analysis.FINGERPRINT_SQL,
         "repetition_signals": analysis.REPETITION_SQL,
         "pii_scrub": _pii_scrub_oracle(),
+        "curate_corpus": _curate_corpus_sql(),
         "dedup_exact": """
 WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
 keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)
