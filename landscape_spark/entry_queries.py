@@ -170,6 +170,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analysis.fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization token counts (GPT-2 pre-tokenizer shape in
+    the Java/RE2 common regex subset) — the corpus token-budget estimator."""
+    from landscape_spark.text import analysis
+
+    return analysis.bpe_token_count(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style repetition quality signals (word-level:
     duplicate-word fraction + top-bigram fraction) — pure JVM projection,
@@ -428,6 +438,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "repetition_signals": q_repetition,
+    "bpe_token_count": q_bpe_tokens,
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "dedup_exact": q_dedup_exact,
@@ -638,6 +649,7 @@ SELECT vec_id, sim FROM (
         "lang_id": analysis.LANG_ID_SQL,
         "doc_fingerprint": analysis.FINGERPRINT_SQL,
         "repetition_signals": analysis.REPETITION_SQL,
+        "bpe_token_count": analysis.BPE_TOKEN_COUNT_SQL,
         "pii_scrub": _pii_scrub_oracle(),
         "curate_corpus": _curate_corpus_sql(),
         "dedup_exact": """

@@ -226,3 +226,33 @@ SELECT doc_id, ROUND(dup_word_frac, 6) AS dup_word_frac,
        ROUND(top_bigram_frac, 6) AS top_bigram_frac
 FROM top
 """
+
+
+# GPT-2-style pre-tokenizer shape, restricted to the Java-regex/RE2 common
+# subset (no lookahead, ASCII classes): letter runs / digit runs / symbol
+# runs, each merging one preceding space, plus residual whitespace runs.
+# The full GPT-2 pattern's contraction splits and \p{L} classes need
+# lookahead, which RE2 (the DuckDB oracle engine) lacks — this is the
+# standard lookahead-free approximation and counts within a few percent of
+# a real BPE pre-tokenizer on English text.
+BPE_ISH_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens): BPE-ish pre-tokenization count — the
+    token-budget estimator a training-data pipeline runs corpus-wide
+    (whitespace counts undercount punctuation-heavy text badly). Pure JVM
+    regexp projection, no shuffle."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+BPE_TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{BPE_ISH_RE}')) AS n_bpe_tokens
+FROM documents
+"""

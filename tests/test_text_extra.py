@@ -213,3 +213,23 @@ def test_repetition_signals_known_values(spark):
     assert got[2] == (0.0, 0.0)
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.5)
+
+
+def test_bpe_token_count_known_values(spark):
+    """BPE-ish pre-tokenizer: letter/digit/symbol runs each merging one
+    leading space, residual whitespace runs counted once."""
+    from landscape_spark.text.analysis import bpe_token_count
+
+    rows = [
+        (0, "hello world, it's 2026!"),
+        # [hello][ world][,][ it]['][s][ 2026][!] = 8
+        (1, ""),
+        (2, "a,b;c:d.e"),  # [a][,][b][;][c][:][d][.][e] = 9
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_count(df).collect()}
+    assert got[0] == 8
+    assert got[1] == 0
+    assert got[2] == 9
+    assert got[3] is None  # ANSI size(null) = null (DuckDB length agrees)
