@@ -233,3 +233,78 @@ def test_bpe_token_count_known_values(spark):
     assert got[1] == 0
     assert got[2] == 9
     assert got[3] is None  # ANSI size(null) = null (DuckDB length agrees)
+
+
+def _xxh64_ref(data: bytes, seed: int) -> int:
+    """Independent pure-Python XXH64 (Yann Collet's public-domain spec),
+    written from the algorithm description — the fuzz oracle for the
+    vectorized kernel (and transitively for Spark parity, which the
+    deterministic test above pins against F.xxhash64)."""
+    M = (1 << 64) - 1
+    P1, P2, P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    P4, P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    i, n = 0, len(data)
+    if n >= 32:
+        v = [
+            (seed + P1 + P2) & M,
+            (seed + P2) & M,
+            seed & M,
+            (seed - P1) & M,
+        ]
+        while i <= n - 32:
+            for lane in range(4):
+                k = int.from_bytes(data[i + 8 * lane : i + 8 * lane + 8], "little")
+                v[lane] = (rotl((v[lane] + k * P2) & M, 31) * P1) & M
+            i += 32
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)) & M
+        for lane in range(4):
+            h = ((h ^ (rotl((v[lane] * P2) & M, 31) * P1) & M) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 8:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h = (rotl(h ^ ((rotl((k * P2) & M, 31) * P1) & M), 27) * P1 + P4) & M
+        i += 8
+    if i <= n - 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h = (rotl(h ^ ((k * P1) & M), 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * P5) & M), 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    return h ^ (h >> 32)
+
+
+def test_numpy_xxh64_fuzz_against_pure_python():
+    """Property fuzz: the vectorized xxhash64_bytes equals an independent
+    pure-Python XXH64 for arbitrary byte slices and seeds (hypothesis
+    shrinks any counterexample to a minimal length class)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from landscape_spark.hashing import xxhash64_bytes
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=8),
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+    )
+    def check(toks, seed):
+        data = np.frombuffer(b"".join(toks), dtype=np.uint8)
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        got = xxhash64_bytes(data, starts, lens, seed)
+        for i, t in enumerate(toks):
+            assert int(got[i]) == _xxh64_ref(t, seed), (len(t), seed)
+
+    check()
