@@ -11,6 +11,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Java regex \s (default flags) is [ \t\n\x0B\f\r] — it INCLUDES vertical tab
+# \x0B — while RE2 (DuckDB's regex engine, which runs every oracle here) has
+# \s = [ \t\n\f\r] WITHOUT it. A document containing VT would therefore
+# tokenize differently on the two engines if any expression used \s/\S, so
+# every tokenizing regex spells the ASCII class out explicitly: the same
+# pattern source parses identically in Java regex and RE2 (both support \xhh
+# escapes inside classes), making the whitespace definition engine-portable
+# by construction. The simhash kernel's byte LUT (dedup._WS_LUT) uses the
+# same six byte values.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_RUN = WS_CLASS + "+"
+NONWS_RUN = r"[^ \t\n\x0B\f\r]+"
+
 # language marker tokens for the n-gram/stopword heuristic (fixed public lists)
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
@@ -23,10 +36,12 @@ STOPWORDS = LANG_MARKERS["en"]
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count of the GIVEN column: number of maximal \\S+
-    runs. (The former F.expr form hard-coded the literal column name 'text',
-    silently ignoring this parameter for any other column.)"""
-    return F.size(F.regexp_extract_all(text, F.lit("\\S+"), 0))
+    """Whitespace token count of the GIVEN column: number of maximal
+    non-whitespace runs (explicit ASCII class — see WS_CLASS note; \\S+
+    would silently include VT on Spark but not in the RE2 oracles). (The
+    former F.expr form hard-coded the literal column name 'text', silently
+    ignoring this parameter for any other column.)"""
+    return F.size(F.regexp_extract_all(text, F.lit(NONWS_RUN), 0))
 
 
 def _count_word(text: Column, word: str) -> Column:
@@ -108,7 +123,7 @@ def _stop_sql(words: list[str]) -> str:
 
 TOKEN_STATS_SQL = rf"""
 SELECT doc_id,
-       length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(regexp_extract_all(text, '{NONWS_RUN}')) AS n_tokens,
        length(text) AS n_chars_measured,
        {_stop_sql(STOPWORDS)} AS stop_tokens,
        length(regexp_extract_all(text, '[.,;:!?]')) AS punct_chars
@@ -164,8 +179,14 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
       emitted, so no tie-break is needed.
 
     Pure JVM column expressions over the split word array — no shuffle, no
-    UDF; the whole thing is one projection over the scan."""
-    words = F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+    UDF; the whole thing is one projection over the scan. The top-bigram
+    count is array_sort + ONE aggregate pass tracking the longest equal-run
+    (max run length in the sorted list == max multiplicity): O(L log L) per
+    row. The previous form — aggregate over array_distinct re-scanning the
+    full bigram list per distinct bigram — was O(L^2) per doc, so a single
+    100k-word outlier (exactly the doc class a repetition filter exists to
+    catch) cost ~10^10 comparisons inside one task."""
+    words = F.filter(F.split(F.col("text"), WS_RUN), lambda x: x != F.lit(""))
     w = F.expr("words")
     nw = F.size(w)
     distinct_frac = F.when(
@@ -175,11 +196,16 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     bigrams = F.expr(
         "transform(sequence(0, size(words) - 2), i -> words[i] || ' ' || words[i+1])"
     )
-    # top bigram count via aggregate over the distinct bigram list: for each
-    # candidate, count occurrences in the full list, take the max
+    # longest equal-run over the sorted bigram list; run/best fold in one pass
     top_cnt = F.expr(
-        "aggregate(array_distinct(bigrams), 0, (acc, b) ->"
-        " greatest(acc, size(filter(bigrams, x -> x = b))))"
+        "aggregate(array_sort(bigrams),"
+        " struct(0 AS best, 0 AS run, CAST(NULL AS STRING) AS prev),"
+        " (acc, x) -> struct("
+        "   greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev,"
+        "                         acc.run + 1, 1)) AS best,"
+        "   IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1) AS run,"
+        "   x AS prev),"
+        " acc -> acc.best)"
     )
     top_frac = F.when(
         F.size(F.col("bigrams")) > 0,
@@ -196,10 +222,10 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
 
 
-REPETITION_SQL = r"""
+REPETITION_SQL = rf"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(text, '{WS_RUN}'), x -> x <> '') AS words
   FROM documents
 ),
 uni AS (
@@ -234,8 +260,11 @@ FROM top
 # The full GPT-2 pattern's contraction splits and \p{L} classes need
 # lookahead, which RE2 (the DuckDB oracle engine) lacks — this is the
 # standard lookahead-free approximation and counts within a few percent of
-# a real BPE pre-tokenizer on English text.
-BPE_ISH_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# a real BPE pre-tokenizer on English text. Whitespace is the explicit
+# WS_CLASS, not \s — see the note at the top of this module.
+BPE_ISH_RE = (
+    r" ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\rA-Za-z0-9]+" + "|" + WS_RUN
+)
 
 
 def bpe_token_count(docs: DataFrame) -> DataFrame:

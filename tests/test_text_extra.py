@@ -308,3 +308,67 @@ def test_numpy_xxh64_fuzz_against_pure_python():
             assert int(got[i]) == _xxh64_ref(t, seed), (len(t), seed)
 
     check()
+
+
+def test_ws_class_vt_cross_engine_parity(spark):
+    """Vertical tab (\\x0B) is whitespace in Java's \\s but NOT in RE2's —
+    the oracles now use an explicit ASCII class on both engines, so a
+    VT-bearing document must tokenize identically (the synthetic corpus has
+    no VT, so only this fixture exercises the divergence)."""
+    import duckdb
+
+    from landscape_spark.text.analysis import (
+        BPE_TOKEN_COUNT_SQL,
+        REPETITION_SQL,
+        TOKEN_STATS_SQL,
+        bpe_token_count,
+        repetition_signals,
+        with_token_stats,
+    )
+
+    rows = [
+        (0, "alpha\x0bbeta\x0b\x0bgamma"),   # VT-separated words
+        (1, "plain text no vt"),
+        (2, "tab\tand\x0bmix \x0b end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for spark_df, sql in [
+        (with_token_stats(df), TOKEN_STATS_SQL),
+        (repetition_signals(df), REPETITION_SQL),
+        (bpe_token_count(df), BPE_TOKEN_COUNT_SQL),
+    ]:
+        got = sorted(map(tuple, spark_df.collect()))
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want, (sql[:60], got, want)
+    # and the VT actually splits tokens (3 words in doc 0)
+    stats = {r.doc_id: r.n_tokens for r in with_token_stats(df).collect()}
+    assert stats[0] == 3
+
+
+def test_repetition_signals_long_doc_subsecond(spark):
+    """The top-bigram count is one sorted run-length pass (O(L log L)); the
+    previous aggregate-over-distinct form re-scanned the bigram list per
+    distinct bigram (O(L^2)) — a 50k-word doc took minutes. Values checked
+    against a direct Python count; wall clock must stay far under the
+    quadratic regime."""
+    import time
+    from collections import Counter
+
+    from landscape_spark.text.analysis import repetition_signals
+
+    words = [f"w{i % 9973}" for i in range(50_000)]
+    words[1000:1200] = ["dup", "pair"] * 100  # a planted hot bigram
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    t0 = time.time()
+    row = repetition_signals(df).collect()[0]
+    elapsed = time.time() - t0
+    bigrams = Counter(zip(words, words[1:]))
+    want_top = round(max(bigrams.values()) / (len(words) - 1), 6)
+    want_dup = round(1.0 - len(set(words)) / len(words), 6)
+    assert row.top_bigram_frac == want_top
+    assert row.dup_word_frac == want_dup
+    assert elapsed < 15, f"long-doc repetition took {elapsed:.1f}s"
