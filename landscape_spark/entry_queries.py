@@ -303,10 +303,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_hamming=8 is BEST-EFFORT beyond distance 3 (4x16-bit chunk
-    blocking guarantees detection only for d <= 3 by pigeonhole — see
+    """max_hamming=8 is BEST-EFFORT beyond distance 3 (multi-table block
+    geometry guarantees detection only for d <= 3 by pigeonhole — see
     simhash_near_pairs); kept at 8 here for continuity of the gate's
-    recorded row counts."""
+    recorded row counts. At gate N the auto geometry resolves to the
+    classic 4 tables x 16-bit blocks, so the recorded best-effort rows are
+    byte-identical to rounds 1-4; at warehouse N it widens to 20+ tables
+    on 30+-bit keys (Manku WWW'07 shape), keeping candidate volume ~linear
+    in N instead of ~N^2/2^16."""
     from landscape_spark.text import dedup
 
     return dedup.simhash_near_pairs(

@@ -65,3 +65,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_parallelism(spark: SparkSession, default: int = 32) -> int:
+    """Target parallelism for the zero-shuffle kernels' small-corpus
+    repartition guard (minhash/simhash/substring fingerprints).
+
+    ``spark.sql.shuffle.partitions`` is not guaranteed numeric on every
+    platform (some AQE-managed deployments set it to 'auto'), and int() on
+    such a value raised ValueError at operator call time. Fall back to the
+    scheduler's defaultParallelism, then to ``default``."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return default

@@ -242,10 +242,10 @@ def minhash_signatures(
     are repartitioned first (a shuffle of raw doc bytes, still ~16x less
     traffic than round 2's exploded-shingle shuffle)."""
     assert 1 <= n <= 8, "byte-window packing supports n-gram n <= 8"
+    from landscape_spark.session import local_parallelism
+
     src = docs.select("doc_id", "text")
-    target = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    target = local_parallelism(docs.sparkSession)
     if src.rdd.getNumPartitions() < max(2, target // 2):
         src = src.repartition(target)
 
@@ -476,10 +476,10 @@ def simhash(docs: DataFrame, seed: int = 42) -> DataFrame:
     corpus arriving as 1-2 input splits is repartitioned (raw doc rows)
     so the kernel isn't serialized; at warehouse scale the scan has plenty
     of splits and the plan is exchange-free."""
+    from landscape_spark.session import local_parallelism
+
     src = docs.select("doc_id", "text")
-    target = int(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    target = local_parallelism(docs.sparkSession)
     if src.rdd.getNumPartitions() < max(2, target // 2):
         src = src.repartition(target)
     # match F.lit(seed)'s Catalyst type: int32 literals fold via XXH64.hashInt
@@ -554,39 +554,154 @@ def simhash(docs: DataFrame, seed: int = 42) -> DataFrame:
     return src.mapInArrow(sh, "doc_id long, simhash long")
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, seed: int = 42) -> DataFrame:
-    """Near-dup pairs: block on 4 x 16-bit simhash chunks, verify Hamming
-    distance. By pigeonhole, 4 chunks guarantee a matching chunk exactly
-    when hamming <= 3 — the classic 64-bit/4-block near-dup design (Manku
-    et al., WWW'07) — hence the default. Pairs at larger distances are
-    found only if their differing bits happen to spare one chunk, so
-    max_hamming > 3 is best-effort (documented, not guaranteed); complete
-    detection at d needs d+1 blocks.
+def simhash_blocking_geometry(
+    n_docs: int,
+    d: int = 3,
+    fbits: int = 64,
+    target_pairs_per_doc: float = 16.0,
+    max_blocks: int = 8,
+) -> tuple[list[int], list[tuple[int, ...]]]:
+    """Manku et al. (WWW'07 §3)-style multi-table blocking geometry for
+    guaranteed Hamming-<=d detection, sized to the corpus.
+
+    The fingerprint's ``fbits`` bits split into ``b`` near-equal blocks;
+    one blocking table per C(b, b-d) block subset keys on the concatenation
+    of that subset's bits. A pair differing in <= d bits touches <= d
+    blocks, leaving >= b-d blocks clean, so SOME table keys both docs
+    identically — the pigeonhole guarantee, for every b.
+
+    ``b`` trades selectivity against table count: key width ~= fbits*(b-d)/b
+    grows with b, table count C(b, d) grows too. The fixed 4x16-bit variant
+    (b = d+1) admits ~N^2/2^16 candidate pairs per table under the
+    uniform-fingerprint model — ~10^13 candidates at N = 10^9, a
+    scale-killer. This picks the SMALLEST b whose expected total candidate
+    volume t * N^2 / 2^keybits stays under target_pairs_per_doc * N
+    (keybits conservatively = the narrowest table's key width):
+    N=500 -> b=4 (4 tables, 16-bit keys, the classic design);
+    N=10^6 -> b=5 (10 tables, 25-bit keys);
+    N=10^9 -> b=6 (20 tables, 31-bit keys);
+    N=10^10 -> b=7 (35 tables, 35-bit keys). Real simhashes are more
+    clustered than uniform (shared topical bits), so this is a floor, not
+    an exact count — the verify step is a cheap JVM bit_count either way.
+    Capped at max_blocks=8 (56 tables): beyond that the per-doc explode
+    fan-out costs more than the residual bucket mass.
+
+    Returns (widths, subsets): widths[i] = bit width of block i (sums to
+    fbits), subsets = the C(b, b-d) block-index tuples, one table each."""
+    import math
+    from itertools import combinations
+
+    if d < 1:
+        raise ValueError("guaranteed hamming distance d must be >= 1")
+    n = max(2, int(n_docs))
+    for b in range(d + 1, max_blocks + 1):
+        widths = [fbits // b + (1 if i < fbits % b else 0) for i in range(b)]
+        k = b - d
+        key_bits = sum(sorted(widths)[:k])
+        t = math.comb(b, k)
+        if (
+            t * n / (2.0**key_bits) <= target_pairs_per_doc
+            or b == max_blocks
+        ):
+            return widths, [tuple(s) for s in combinations(range(b), k)]
+    raise AssertionError("unreachable: loop always returns at max_blocks")
+
+
+def _block_key(sh: F.Column, widths: list[int], offsets: list[int], subset) -> F.Column:
+    """Concatenate the given blocks of a 64-bit fingerprint column into one
+    long key (masking after the arithmetic shiftright keeps sign-extension
+    bits out)."""
+    key = F.lit(0).cast("long")
+    for j in subset:
+        blk = F.shiftright(sh, offsets[j]).bitwiseAND(F.lit((1 << widths[j]) - 1))
+        key = F.shiftleft(key, widths[j]).bitwiseOR(blk)
+    return key
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    seed: int = 42,
+    n_docs: int | None = None,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs: multi-table permuted-block simhash blocking, verified
+    by exact Hamming distance (bit_count of the XOR — cheap JVM work).
+
+    Blocking geometry (simhash_blocking_geometry) guarantees detection for
+    hamming <= min(max_hamming, 3) by pigeonhole at EVERY corpus size; the
+    block count auto-scales with N so the candidate volume stays ~linear
+    (the old fixed 4x16-bit variant admitted ~N^2/2^16 candidates — fine at
+    gate scale, ~10^13 pairs at N=10^9). Pairs at distances above the
+    guarantee are found only if their differing bits spare one table's
+    blocks, so max_hamming > 3 is best-effort (complete detection at d
+    needs the C(b, d)-table geometry for that d, which grows fast); the
+    best-effort set depends on the geometry and hence on N — pass
+    ``blocks`` to pin b explicitly when reproducibility across corpus
+    sizes matters beyond the guaranteed band.
+
+    ``n_docs``: corpus size for geometry selection; None counts the
+    signature table (the count doubles as the cache materializer — the
+    candidate join reuses the cached signatures).
+
+    Candidates are dedup'd on the BARE (doc_lo, doc_hi) pair — 16
+    bytes/row through the distinct's exchange — and each side's simhash is
+    re-joined afterwards from the cached signature table (carrying both
+    64-bit hashes through every table's candidate stream paid 2x the
+    distinct shuffle for values derivable by one hash-join later).
 
     Docs with no tokens (simhash 0 sentinel) are EXCLUDED from pair
     mining: content-free docs are not near-duplicates of each other, and
     the shared sentinel would otherwise produce a quadratic hamming-0
     clique of empty docs."""
     s = simhash(docs, seed).where(F.col("simhash") != 0).cache()
-    chunks = s.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), c -> struct(c AS chunk,"
-                " shiftright(simhash, c * 16) & 65535 AS ch))"
+    d = min(int(max_hamming), 3)
+    if blocks is not None:
+        if blocks < d + 1:
+            raise ValueError(
+                f"blocks={blocks} cannot guarantee hamming<={d}: the "
+                f"pigeonhole needs at least d+1={d + 1} blocks"
             )
-        ).alias("cc"),
-    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
-    a = chunks.select(F.col("doc_id").alias("doc_lo"), F.col("simhash").alias("sh_lo"), "chunk", "ch")
-    b = chunks.select(F.col("doc_id").alias("doc_hi"), F.col("simhash").alias("sh_hi"), "chunk", "ch")
+        from itertools import combinations
+
+        widths = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+        subsets = [tuple(c) for c in combinations(range(blocks), blocks - d)]
+    else:
+        if n_docs is None:
+            n_docs = s.count()  # one job; also materializes the cache
+        widths, subsets = simhash_blocking_geometry(n_docs, d=d)
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(ti).alias("tbl"),
+                _block_key(F.col("simhash"), widths, offsets, sub).alias("key"),
+            )
+            for ti, sub in enumerate(subsets)
+        ]
+    )
+    keyed = (
+        s.select("doc_id", F.explode(tables).alias("tk"))
+        .select("doc_id", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
+    )
+    a = keyed.select(F.col("doc_id").alias("doc_lo"), "tbl", "key")
+    b = keyed.select(F.col("doc_id").alias("doc_hi"), "tbl", "key")
     cand = (
-        a.join(b, on=["chunk", "ch"])
+        a.join(b, on=["tbl", "key"])
         .where(F.col("doc_lo") < F.col("doc_hi"))
-        .select("doc_lo", "doc_hi", "sh_lo", "sh_hi")
+        .select("doc_lo", "doc_hi")
         .distinct()
     )
     ham = F.bit_count(F.col("sh_lo").bitwiseXOR(F.col("sh_hi")))
-    return cand.select("doc_lo", "doc_hi", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    return (
+        cand.join(
+            s.select(F.col("doc_id").alias("doc_lo"), F.col("simhash").alias("sh_lo")),
+            on="doc_lo",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_hi"), F.col("simhash").alias("sh_hi")),
+            on="doc_hi",
+        )
+        .select("doc_lo", "doc_hi", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
     )

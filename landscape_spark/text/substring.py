@@ -58,8 +58,10 @@ def substring_fingerprints(
         raise ValueError("window must be >= 2 bytes")
     if select_mod < 1:
         raise ValueError("select_mod must be >= 1")
+    from landscape_spark.session import local_parallelism
+
     src = docs.select("doc_id", "text")
-    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    target = local_parallelism(docs.sparkSession)
     if src.rdd.getNumPartitions() < max(2, target // 2):
         src = src.repartition(target)
     W = int(window)
