@@ -232,6 +232,15 @@ def main() -> None:
         lambda: dedup.near_dup_groups(docs, pairs).count(), 2
     )
 
+    # train/eval decontamination: rolling-fingerprint candidates (8-byte
+    # hashes through the join) + exact shingle verify on the candidate sliver
+    from landscape_spark.text.corpus import decontaminate
+
+    queries["decontaminate"] = best_of(
+        lambda: decontaminate(docs, docs.where("doc_id % 20 = 0"), n=64).count(),
+        2,
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
     t0 = time.time()

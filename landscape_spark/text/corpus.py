@@ -91,27 +91,57 @@ def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
     n: int = 64,
+    exact_verify: bool = True,
 ) -> DataFrame:
     """Training docs with NO exact character n-gram (length ``n``) shared
     with any benchmark document: (doc_id, contaminated=false rows only is
     the common use; this returns (doc_id, contaminated) for auditability —
     filter ``~contaminated`` to get the clean corpus).
 
-    Plan: benchmark n-grams are distinct-collected on their small side and
-    hash-joined (broadcast under the session threshold) against the corpus
-    shingle stream; a doc is contaminated iff any of its shingles hits.
-    One corpus scan; the eval side is eval-suite-sized, never corpus-sized.
-    """
-    from landscape_spark.text.dedup import shingles
+    Plan: both sides run the substring.py rolling-fingerprint kernel with
+    select_mod=1 (EVERY n-byte window, one zero-shuffle mapInArrow scan per
+    side), so the corpus-side join stream carries 8-byte hashes instead of
+    n-byte substrings — at n=64 that is an 8x thinner stream than shipping
+    the shingle strings, and the benchmark side's broadcast set shrinks the
+    same way. Semantics stay EXACT: a shared n-CHAR shingle occupies >= n
+    bytes, so its byte image contains at least one aligned n-byte window
+    shared verbatim by both docs — every truly contaminated doc fingerprints
+    into the candidate set (no false negatives; select_mod=1 samples
+    nothing away). Candidates then re-check against the benchmark with the
+    exact char-shingle semi-join, but only for the candidate sliver (a
+    byte-window hit can cross char boundaries a char shingle would not, and
+    a 2^-64 fp collision is possible — verification removes both), so the
+    output is bit-identical to the plain shingle-join definition and the
+    SQL oracle. ``exact_verify=False`` skips the recheck (w.h.p.-correct,
+    one less pass) — the gate keeps it on.
 
-    bench_sh = shingles(benchmark, n=n).select("sh").distinct()
-    hits = (
-        shingles(docs, n=n)
-        .join(bench_sh, on="sh", how="left_semi")
+    One corpus scan for candidates plus one scan of the candidate docs for
+    verification; the eval side is eval-suite-sized, never corpus-sized."""
+    from landscape_spark.text.dedup import shingles
+    from landscape_spark.text.substring import substring_fingerprints
+
+    bench_fp = (
+        substring_fingerprints(benchmark, window=n, select_mod=1)
+        .select("fp")
+        .distinct()
+    )
+    cand = (
+        substring_fingerprints(docs, window=n, select_mod=1)
+        .join(bench_fp, on="fp", how="left_semi")
         .select("doc_id")
         .distinct()
-        .withColumn("contaminated", F.lit(True))
     )
+    if exact_verify:
+        bench_sh = shingles(benchmark, n=n).select("sh").distinct()
+        hits = (
+            shingles(docs.join(cand, on="doc_id", how="left_semi"), n=n)
+            .join(bench_sh, on="sh", how="left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("contaminated", F.lit(True))
+        )
+    else:
+        hits = cand.withColumn("contaminated", F.lit(True))
     return (
         docs.select("doc_id")
         .join(hits, on="doc_id", how="left")

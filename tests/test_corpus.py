@@ -77,3 +77,52 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
     assert got[1] is False
     assert got[2] is True  # bench doc shares with itself
     assert got[3] is False
+
+
+def test_decontaminate_fp_path_matches_shingle_semantics(spark):
+    """The rolling-fingerprint candidate pass + exact verify must be
+    bit-identical to the plain char-shingle join definition — including on
+    multibyte text, where byte windows can match across char boundaries
+    that char shingles would not (verification removes those)."""
+    from landscape_spark.text.dedup import shingles
+
+    rng = random.Random(23)
+
+    def txt(k, alpha="abcdefgh о å 字"):
+        return "".join(rng.choice(alpha) for _ in range(k))
+
+    shared = txt(90)
+    rows = [
+        (0, txt(100) + shared + txt(50)),   # contaminated (90-char span)
+        (1, txt(300)),                       # likely clean
+        (2, shared),                         # the bench doc content itself
+        (3, txt(200) + shared[:63]),         # 63-char overlap: NOT enough
+        (4, txt(30)),                        # too short for 64-grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    n = 64
+    # reference: the plain shingle-join definition (the oracle's shape)
+    bench_sh = shingles(bench, n=n).select("sh").distinct()
+    ref_hits = {
+        r.doc_id
+        for r in shingles(docs, n=n)
+        .join(bench_sh, on="sh", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    want = {i: (i in ref_hits) for i, _ in rows}
+    got = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, bench, n=n).collect()
+    }
+    assert got == want
+    assert got[0] is True and got[3] is False and got[4] is False
+    # w.h.p. path (no exact verify) may only ADD byte-window hits, never
+    # lose a truly contaminated doc
+    loose = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(docs, bench, n=n, exact_verify=False).collect()
+    }
+    assert all(loose[i] for i in ref_hits)
