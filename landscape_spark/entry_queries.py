@@ -348,6 +348,29 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dup groups — the documented headline use of
+    near_dup_groups: union the MinHash-LSH, SimHash, and substring-
+    fingerprint pair families (each catches a class the others miss:
+    token-level near-dups / bag-of-words perturbations-and-reorders /
+    partial containment) and close them into transitive groups with a
+    global min-id keeper. Rows-only in the gate (two of the three families
+    are hash-randomized and not SQL-expressible); the planted cross-family
+    chain — a substring-exclusive bridge and an order-invariance bridge
+    ending in ONE group — is property-tested in
+    tests/test_text_extra.py::test_near_dup_groups_cross_family_union."""
+    from landscape_spark.text import dedup
+    from landscape_spark.text.substring import substring_duplicate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mh = dedup.minhash_lsh_dedup(docs, threshold=0.8).select("doc_lo", "doc_hi")
+    sp = dedup.simhash_near_pairs(docs, max_hamming=8).select("doc_lo", "doc_hi")
+    sub = substring_duplicate_pairs(
+        docs, window=64, select_mod=8, min_shared=2
+    ).select("doc_lo", "doc_hi")
+    return dedup.near_dup_groups(docs, mh.unionAll(sp).unionAll(sub))
+
+
 CORPUS_FRACTIONS = {"en": 0.9, "zh": 0.5, "de": 0.25, "fr": 0.1}
 
 
@@ -449,6 +472,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
     "dedup_groups": q_dedup_groups,
+    "dedup_groups_multi": q_dedup_groups_multi,  # rows-only: union of hash-based families
     "dedup_substring": q_dedup_substring,  # rows-only: sampled rolling-hash selection
     "corpus_sample_stratified": q_corpus_sample,
     "decontaminate": q_decontaminate,

@@ -492,3 +492,55 @@ def test_simhash_forced_blocks_detect_all_guaranteed_pairs(spark):
             for r in simhash_near_pairs(df, max_hamming=3, blocks=blocks).collect()
         }
         assert got == truth, (blocks, len(got), len(truth))
+
+
+def test_near_dup_groups_cross_family_union(spark):
+    """The documented headline use of near_dup_groups: union pair families
+    from DIFFERENT detectors and close them transitively. The planted chain
+    needs every family: A~B~C are token-level near-dups (minhash+simhash),
+    D joins ONLY through a shared 100-byte substring with C
+    (substring-exclusive bridge: minhash and simhash both miss it), and E
+    is a word-level reorder of D (simhash hamming 0 — order-invariant;
+    substring misses it because reordering destroys every 64-byte window).
+    All five must land in one group under the GLOBAL min id. Deterministic:
+    every detector is content-keyed with fixed seeds."""
+    import random
+
+    from landscape_spark.text import dedup
+    from landscape_spark.text.substring import substring_duplicate_pairs
+
+    rng = random.Random(7)
+    vocab = [f"word{j}" for j in range(2000)]
+    A = " ".join(rng.choices(vocab, k=200))
+    B = A + " tiny suffix tail"
+    ctoks = B.split(); ctoks[50] = "swapped"; C = " ".join(ctoks)
+    D = C[300:400] + " " + " ".join(rng.choices(vocab, k=150))
+    dtoks = D.split(); rng.shuffle(dtoks); E = " ".join(dtoks)
+    others = [" ".join(rng.choices(vocab, k=120)) for _ in range(6)]
+    rows = [(10, A), (11, B), (12, C), (13, D), (14, E)] + [
+        (20 + i, t) for i, t in enumerate(others)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = dedup.minhash_lsh_dedup(docs, threshold=0.8).select("doc_lo", "doc_hi")
+    sp = dedup.simhash_near_pairs(docs, max_hamming=3).select("doc_lo", "doc_hi")
+    sub = substring_duplicate_pairs(
+        docs, window=64, select_mod=4, min_shared=1
+    ).select("doc_lo", "doc_hi")
+    mh_set = {(r.doc_lo, r.doc_hi) for r in mh.collect()}
+    sp_set = {(r.doc_lo, r.doc_hi) for r in sp.collect()}
+    sub_set = {(r.doc_lo, r.doc_hi) for r in sub.collect()}
+    # each bridge is found by its designed family...
+    assert (10, 11) in mh_set
+    assert (13, 14) in sp_set
+    assert (12, 13) in sub_set
+    # ...and the load-bearing bridges are EXCLUSIVE to their family
+    assert (12, 13) not in mh_set and (12, 13) not in sp_set
+    assert (13, 14) not in sub_set
+
+    groups = {
+        r.doc_id: r.keep_id
+        for r in dedup.near_dup_groups(docs, mh.unionAll(sp).unionAll(sub)).collect()
+    }
+    assert {groups[i] for i in (10, 11, 12, 13, 14)} == {10}
+    assert all(groups[20 + i] == 20 + i for i in range(6))
