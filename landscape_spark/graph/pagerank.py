@@ -67,7 +67,11 @@ def pagerank(
     chain-rejection record in BENCH/BASELINE.md. Forced to 1 when ``tol``
     is set (the convergence check materializes every iteration anyway);
     with ``checkpoint_dir`` use a B that divides checkpoint_every or the
-    durable save will recompute the tail since the last cut.
+    durable save will recompute the tail since the last cut. Caller values
+    are CLAMPED to <= 4: every un-cut iteration references the previous
+    lazy rank plan twice, so the logical plan grows ~2^B between cuts and
+    a large B blows up Catalyst analysis time exponentially even though
+    values stay correct.
     """
     n = float(n_vertices)
     spark = edges.sparkSession
@@ -119,7 +123,12 @@ def pagerank(
         )
     if tol is not None:
         lineage_every = 1
-    lineage_every = max(1, int(lineage_every))
+    # clamp: each un-cut iteration references the previous lazy rank plan
+    # TWICE (contrib join + dangling scan), so the logical plan grows ~2^B
+    # between cuts — B=10 would hand Catalyst a ~1000-node plan per
+    # analysis pass (values stay correct; optimizer time explodes). The
+    # auto path caps B at 2; caller-supplied values clamp to 4.
+    lineage_every = max(1, min(int(lineage_every), 4))
 
     for _it in range(start_iter, iters):
         contrib = (

@@ -112,7 +112,10 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
         > 2^32 pair rows, far past the contracted-graph regime. Replaces
         the earlier count() + exceptAll() probe (two comparison jobs per
         round) with a single aggregate on the new set; the previous
-        round's stats are remembered, not recomputed."""
+        round's stats are remembered, not recomputed. A fingerprint MATCH
+        is then confirmed by one exact set-equality job at the apparent
+        fixpoint (see below), so termination itself is exact — the
+        fingerprint only decides when to run the exact check."""
         p = F.lit((1 << 31) - 1)
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -153,7 +156,15 @@ def _star_contraction(pairs: DataFrame) -> DataFrame:
         )
         ss_stats = _stats(ss)
         if ss_stats == e_stats:
-            break
+            # fingerprint says converged: confirm with ONE exact set-equality
+            # job (both sides are distinct, so symmetric exceptAll emptiness
+            # is set equality). Per-round the cheap fingerprint decides; the
+            # exact check runs only at the apparent fixpoint — on the
+            # smallest graph of the run — so the ~2^-62 per-round collision
+            # can no longer terminate contraction early, at the cost of one
+            # extra job per contraction instead of two per round.
+            if ss.exceptAll(e).unionAll(e.exceptAll(ss)).isEmpty():
+                break
         e, e_stats = ss, ss_stats
     # converged: every edge is (root=min, leaf)
     return e.select(F.col("y").alias("old_comp"), F.col("x").alias("new_comp"))

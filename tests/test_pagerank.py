@@ -67,3 +67,22 @@ def test_pagerank_checkpoint_resume(spark, sf_small, tmp_path):
     assert set(resumed) == set(straight)
     for v in resumed:
         assert resumed[v] == pytest.approx(straight[v], abs=1e-12)
+
+
+def test_pagerank_lineage_every_clamped(spark, sf_small):
+    """A caller-supplied huge lineage_every must not hand Catalyst an
+    exponentially-growing lazy plan: values clamp to <=4 cuts-batch, and
+    results stay identical to the per-iteration path."""
+    import time
+
+    n = linkgraph.num_vertices(spark, sf_small)
+    e = linkgraph.directed_edges(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    base = {r.v: r.pr_score for r in pagerank(e, verts, n, iters=8, lineage_every=1).collect()}
+    t0 = time.time()
+    big = {r.v: r.pr_score for r in pagerank(e, verts, n, iters=8, lineage_every=50).collect()}
+    elapsed = time.time() - t0
+    assert big == pytest.approx(base, abs=1e-15)
+    # unclamped B=8 doubles the plan 8x (~2^8 nodes) and took minutes;
+    # clamped runs in normal time
+    assert elapsed < 60, f"clamp ineffective? {elapsed:.0f}s"
