@@ -78,3 +78,34 @@ def test_salted_build_bit_identical(spark):
         for r in build_sketch_table(e, params, num_partitions=4, salt=8).collect()
     }
     assert plain == salted
+
+
+def test_pagerank_csr_blocked_matches_join_path(spark, sf_small):
+    """The sharded-rank-vector path (n beyond the dense/broadcast regime)
+    must equal the join path to float-sum reordering, including with a
+    shard count that does NOT divide n (ragged last shard)."""
+    from landscape_spark import linkgraph
+    from landscape_spark.graph.csr import pagerank_csr_blocked
+    from landscape_spark.graph.pagerank import pagerank
+
+    n = linkgraph.num_vertices(spark, sf_small)
+    e = linkgraph.directed_edges(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    ref = {r.v: r.pr_score for r in pagerank(e, verts, n, iters=8).collect()}
+    got = {
+        r.v: r.pr_score
+        for r in pagerank_csr_blocked(spark, e, n, iters=8, shards=7).collect()
+    }
+    assert set(got) == set(ref) and len(got) == n
+    assert max(abs(ref[v] - got[v]) for v in ref) < 1e-12
+
+
+def test_pagerank_csr_blocked_all_dangling_uniform(spark):
+    """No edges at all: every shard is dangling (deg_rows is EMPTY — the
+    left-join path), and the result must be the uniform distribution."""
+    from landscape_spark.graph.csr import pagerank_csr_blocked
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    got = {r.v: r.pr_score for r in pagerank_csr_blocked(spark, empty, 10, iters=5, shards=3).collect()}
+    assert len(got) == 10
+    assert all(abs(v - 0.1) < 1e-12 for v in got.values())
