@@ -154,6 +154,22 @@ def main() -> None:
     )
     csr_index[0].destroy()
 
+    from landscape_spark.graph.csr import build_blocked_csr, pagerank_csr_blocked
+
+    t0 = time.time()
+    blk = build_blocked_csr(e_dir, n, shards=max(8, cpus), num_partitions=max(8, cpus))
+    blk = (blk[0].persist(), blk[1].persist())
+    blk[0].count(); blk[1].count()
+    queries["pagerank_blocked_build"] = round(time.time() - t0, 3)
+    queries["pagerank_blocked_10iter"] = best_of(
+        lambda: pagerank_csr_blocked(
+            spark, e_dir, n, iters=pr_iters, shards=max(8, cpus),
+            num_partitions=max(8, cpus), blocks=blk,
+        ).count(),
+        2,
+    )
+    blk[0].unpersist(); blk[1].unpersist()
+
     queries["lpa_5iter"] = best_of(
         lambda: label_propagation(e_und, verts, iters=5).count(), 2
     )

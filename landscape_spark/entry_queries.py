@@ -86,6 +86,24 @@ def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
 
 
+def q_pagerank_csr_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D block-partitioned CSR PageRank (rank vector sharded like
+    the matrix — the n > 10^8 regime where neither a driver-resident rank
+    vector nor a vertex-sized broadcast fits). Same semantics as
+    q_pagerank, so the fully-distributed path is hash-checked against the
+    DuckDB oracle too, not just pytest-equal to the join path. Small shard
+    count here (the gate graph is tiny); geometry is a knob, not a
+    semantic."""
+    from landscape_spark.graph.csr import pagerank_csr_blocked
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    pr = pagerank_csr_blocked(
+        spark, e, n, iters=PR_ITERS, damping=PR_DAMPING, shards=8, num_partitions=8
+    )
+    return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
+
+
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = linkgraph.undirected_edges(spark, sf_dir)
     verts = linkgraph.vertices(spark, sf_dir)
@@ -134,6 +152,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_sizes": q_cc_sizes,
     "pagerank": q_pagerank,
     "pagerank_csr": q_pagerank_csr,
+    "pagerank_csr_blocked": q_pagerank_csr_blocked,
     "lpa": q_lpa,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
@@ -596,6 +615,7 @@ SELECT comp, COUNT(*) AS comp_size FROM (
 """,
     "pagerank": _pagerank_sql(),
     "pagerank_csr": _pagerank_sql(),
+    "pagerank_csr_blocked": _pagerank_sql(),
     "lpa": _lpa_sql(),
     "triangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
