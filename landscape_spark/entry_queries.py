@@ -22,6 +22,9 @@ from landscape_spark.graph.triangles import triangle_count
 PR_ITERS = 20
 PR_DAMPING = 0.85
 LPA_ITERS = 5
+HITS_ITERS = 10
+PPR_SEEDS = list(range(8))  # the link graph's hub vertices (linkgraph.N_HUBS)
+TFIDF_K = 5
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +107,38 @@ def q_pagerank_csr_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank personalized on the hub set {0..N_HUBS-1} — teleport and
+    dangling mass land on the hubs instead of uniformly (the "pages
+    reachable from / endorsed by the hubs" ranking a link-graph curation
+    pipeline uses for seed-biased crawling)."""
+    from landscape_spark.graph.pagerank import personalized_pagerank
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    ppr = personalized_pagerank(
+        e, verts, n, seeds=PPR_SEEDS, iters=PR_ITERS, damping=PR_DAMPING
+    )
+    return ppr.select("v", F.round("ppr_score", 6).alias("ppr_score"))
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the directed link graph (graph/hits.py:
+    L1-normalized synchronous power iteration, join-path plan shape)."""
+    from landscape_spark.graph.hits import hits
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    h = hits(e, verts, n, iters=HITS_ITERS)
+    return h.select(
+        "v",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = linkgraph.undirected_edges(spark, sf_dir)
     verts = linkgraph.vertices(spark, sf_dir)
@@ -153,6 +188,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "pagerank_csr": q_pagerank_csr,
     "pagerank_csr_blocked": q_pagerank_csr_blocked,
+    "personalized_pagerank": q_personalized_pagerank,
+    "hits": q_hits,
     "lpa": q_lpa,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
@@ -169,6 +206,23 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.text import analysis
 
     return analysis.with_token_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF terms (text/tfidf.py; ranks on the rounded
+    score with term as the tie-break so the sort key IS the published
+    value — see the module docstring's cross-engine note)."""
+    from landscape_spark.text.tfidf import tfidf_topk
+
+    return tfidf_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"), k=TFIDF_K)
+
+
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary statistics per term (df, collection
+    frequency, posting span) — the stats side of an index build."""
+    from landscape_spark.text.tfidf import term_postings
+
+    return term_postings(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,6 +534,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
+    "tfidf_topk": q_tfidf_topk,
+    "term_postings": q_term_postings,
     "quality_score": q_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
@@ -550,6 +606,94 @@ def _pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     return f"WITH {ctes}\nSELECT v, ROUND(r, 6) AS pr_score FROM r{iters}"
 
 
+def _ppr_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Personalized PageRank oracle: teleport vector p = uniform over the
+    seed set (PPR_SEEDS = hubs 0..7), dangling mass redistributed by p.
+    Same unrolled MATERIALIZED-CTE shape as _pagerank_sql."""
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        "pr_deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM lg_edges GROUP BY src)",
+        (
+            "pp AS MATERIALIZED (SELECT v, CASE WHEN v IN ({seeds}) "
+            "THEN 1.0 / {k} ELSE 0.0 END AS p FROM lg_vertices)"
+        ).format(seeds=seeds, k=len(PPR_SEEDS)),
+        "r0 AS MATERIALIZED (SELECT v, p AS r FROM pp)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"r{t - 1}"
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT pp.v AS v,
+         (1 - {d}) * pp.p
+         + {d} * (
+             COALESCE(c.c, 0)
+             + (SELECT COALESCE(SUM(r), 0) FROM {prev}
+                WHERE v NOT IN (SELECT src FROM pr_deg)) * pp.p
+           ) AS r
+  FROM pp
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.r / dg.out_deg) AS c
+    FROM lg_edges e
+    JOIN {prev} p ON p.v = e.src
+    JOIN pr_deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.v = pp.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, ROUND(r, 6) AS ppr_score FROM r{iters}"
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """HITS oracle: L1-normalized half-steps, unrolled (graph/hits.py
+    fixes the semantics; the norm guard makes an edgeless graph all-zero
+    instead of dividing by zero)."""
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        "h0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM lg_n) AS s FROM lg_vertices)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t}_raw AS MATERIALIZED (
+  SELECT e.dst AS v, SUM(h.s) AS c
+  FROM lg_edges e JOIN h{t - 1} h ON h.v = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT lv.v AS v,
+         CASE WHEN (SELECT COALESCE(SUM(c), 0) FROM a{t}_raw) > 0
+              THEN COALESCE(ar.c, 0) / (SELECT SUM(c) FROM a{t}_raw)
+              ELSE 0.0 END AS s
+  FROM lg_vertices lv LEFT JOIN a{t}_raw ar ON ar.v = lv.v
+)"""
+        )
+        parts.append(
+            f"""h{t}_raw AS MATERIALIZED (
+  SELECT e.src AS v, SUM(a.s) AS c
+  FROM lg_edges e JOIN a{t} a ON a.v = e.dst
+  GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT lv.v AS v,
+         CASE WHEN (SELECT COALESCE(SUM(c), 0) FROM h{t}_raw) > 0
+              THEN COALESCE(hr.c, 0) / (SELECT SUM(c) FROM h{t}_raw)
+              ELSE 0.0 END AS s
+  FROM lg_vertices lv LEFT JOIN h{t}_raw hr ON hr.v = lv.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT a.v AS v, ROUND(a.s, 6) AS authority, ROUND(h.s, 6) AS hub\n"
+        f"FROM a{iters} a JOIN h{iters} h ON h.v = a.v"
+    )
+
+
 def _lpa_sql(iters: int = LPA_ITERS) -> str:
     parts = [
         linkgraph.EDGES_CTE.strip().rstrip(","),
@@ -616,6 +760,8 @@ SELECT comp, COUNT(*) AS comp_size FROM (
     "pagerank": _pagerank_sql(),
     "pagerank_csr": _pagerank_sql(),
     "pagerank_csr_blocked": _pagerank_sql(),
+    "personalized_pagerank": _ppr_sql(),
+    "hits": _hits_sql(),
     "lpa": _lpa_sql(),
     "triangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
@@ -669,7 +815,7 @@ def _decontaminate_sql() -> str:
 
 def _text_oracles() -> dict[str, str]:
     from landscape_spark.sim.embdup import embedding_near_dup_sql
-    from landscape_spark.text import analysis, dedup
+    from landscape_spark.text import analysis, dedup, tfidf
 
     ann_sql = """
 WITH q AS (
@@ -693,6 +839,8 @@ SELECT vec_id, sim FROM (
     return {
         "knn_label": knn_label_majority_sql(k=5),
         "token_stats": analysis.TOKEN_STATS_SQL,
+        "tfidf_topk": tfidf.tfidf_topk_sql(k=TFIDF_K),
+        "term_postings": tfidf.term_postings_sql(),
         "quality_score": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,
         "doc_fingerprint": analysis.FINGERPRINT_SQL,

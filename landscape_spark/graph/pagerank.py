@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from landscape_spark.session import local_parallelism
+
 
 def pagerank(
     edges: DataFrame,
@@ -230,3 +232,89 @@ def resume_pagerank(
         start_ranks=dfs["ranks"],
         start_iter=int(lineage["state"]["iteration"]),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    n_vertices: int,
+    seeds: list[int],
+    iters: int = 20,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling mass) land on the seed
+    set instead of uniformly. Semantics fixed for the DuckDB oracle:
+
+        p(v)     = 1/|S| for v in S, else 0
+        r_0      = p
+        r_t+1(v) = (1-d)*p(v) + d*( sum_{u->v} r_t(u)/outdeg(u)
+                                    + dangling_t * p(v) )
+
+    r_t sums to 1 at every t. Same scale design as pagerank(): the edge
+    relation is joined to out-degrees once, repartitioned by src and cached;
+    each iteration is one contrib shuffle plus a 1-row dangling broadcast;
+    the static teleport weight is carried as a column of the rank table, so
+    there is no per-iteration join against a vertex-sized side. Lineage is
+    cut every iteration (the rank table is referenced twice per step).
+
+    seeds must be a small driver-side list (a personalization set, not a
+    vertex partition) — it folds into the plan as an isin literal.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    n_part = local_parallelism(edges.sparkSession)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ew = (
+        edges.join(deg, on="src")
+        .select("src", "dst", "out_deg")
+        .repartition(n_part, "src")
+        .cache()
+    )
+    ew.count()
+
+    p_col = F.when(
+        F.col("v").isin([int(s) for s in seeds]), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    vstate = (
+        vertices.join(
+            deg.select(F.col("src").alias("v"), F.lit(True).alias("_o")),
+            on="v",
+            how="left",
+        )
+        .select("v", p_col.alias("p"), F.col("_o").isNull().alias("is_dang"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = vstate.select("v", F.col("p").alias("r"), "p", "is_dang").localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.v)
+            .select(F.col("dst").alias("v"), (F.col("r") / F.col("out_deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling_df = ranks.where("is_dang").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang")
+        )
+        ranks = (
+            vstate.join(contrib, on="v", how="left")
+            .crossJoin(F.broadcast(dangling_df))
+            .select(
+                "v",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dang") * F.col("p")
+                    )
+                ).alias("r"),
+                "p",
+                "is_dang",
+            )
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    return ranks.select("v", F.col("r").alias("ppr_score"))
