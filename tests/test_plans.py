@@ -160,3 +160,40 @@ def test_pagerank_iteration_has_no_vertex_sized_broadcast(spark, sf_small):
     # 1-row side (the dangling scalar); IdentityBroadcastMode marks the
     # nested-loop variant and must be absent
     assert "IdentityBroadcastMode" not in plan, plan
+
+
+def test_hits_and_ppr_no_vertex_sized_broadcast(spark, sf_small):
+    """HITS and personalized PageRank reuse the pagerank join-path shape:
+    the only broadcast per half-step/iteration is the 1-row norm/dangling
+    aggregate — never an O(n) identity broadcast."""
+    from landscape_spark.graph.hits import hits
+    from landscape_spark.graph.pagerank import personalized_pagerank
+
+    e = linkgraph.directed_edges(spark, sf_small)
+    n = linkgraph.num_vertices(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    for df in (
+        hits(e, verts, n, iters=1),
+        personalized_pagerank(e, verts, n, seeds=[0, 1], iters=1),
+    ):
+        plan = _plan(df)
+        assert "IdentityBroadcastMode" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_window_is_per_document(spark, sf_small):
+    """tfidf_topk's ranking window partitions by doc_id — a global
+    single-partition window would funnel the whole corpus through one task."""
+    from landscape_spark.text.tfidf import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(tfidf_topk(docs, k=5))
+    # ranking window hash-partitions on doc_id, and Spark 4's
+    # WindowGroupLimit pushes the k-limit below the exchange (partial+final)
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop join is the 1-row corpus-count scalar fold —
+    # same pattern as pagerank's dangling aggregate; a vertex/doc-sized
+    # identity broadcast would show as a join with a non-aggregate side
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
