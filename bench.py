@@ -174,6 +174,12 @@ def main() -> None:
         lambda: label_propagation(e_und, verts, iters=5).count(), 2
     )
 
+    from landscape_spark.graph.hits import hits
+
+    queries["hits_10iter"] = best_of(
+        lambda: hits(e_dir, verts, n, iters=10).count(), 2
+    )
+
     tri_box = [0]
     queries["triangle_count"] = best_of(
         lambda: tri_box.__setitem__(0, triangle_count(e_und).first()[0]), 2
@@ -255,6 +261,14 @@ def main() -> None:
     queries["decontaminate"] = best_of(
         lambda: decontaminate(docs, docs.where("doc_id % 20 = 0"), n=64).count(),
         2,
+    )
+
+    # per-doc top-k TF-IDF (one tokenize scan, df groupBy, WindowGroupLimit
+    # rank window — the text-side kernel added in round 5)
+    from landscape_spark.text.tfidf import tfidf_topk
+
+    queries["tfidf_topk"] = best_of(
+        lambda: tfidf_topk(docs, k=5).count(), 2
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
