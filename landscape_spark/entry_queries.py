@@ -158,6 +158,57 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(und, verts)
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth BFS: minimum hop count from the hub seed set along
+    DIRECTED edges (graph/traversal.py frontier expansion — each edge
+    fires once across the whole run)."""
+    from landscape_spark.graph.traversal import bfs_distances
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    return bfs_distances(e, seeds=PPR_SEEDS).select("v", "dist")
+
+
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition via the distributed H-operator fixpoint
+    (graph/kcore.py; fixpoint == coreness, Lü et al. 2016)."""
+    from landscape_spark.graph.kcore import coreness
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return coreness(und, verts).select("v", "core")
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components on the directed graph (trim +
+    forward-backward coloring, graph/scc.py) — the bow-tie primitive."""
+    from landscape_spark.graph.scc import strongly_connected_components
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return strongly_connected_components(e, verts).select("v", "comp")
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient (graph/triangles.py —
+    rides the degree-oriented triangle machinery)."""
+    from landscape_spark.graph.triangles import clustering_coefficient
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return clustering_coefficient(und, verts)
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: top-20 non-adjacent pairs by shared-
+    neighborhood evidence (graph/linkpred.py; ranks on the rounded score
+    so the sort key is the published value). Uncapped (exact) at gate
+    scale; max_wedge_degree is the documented 100TB hub knob."""
+    from landscape_spark.graph.linkpred import adamic_adar_topk
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    return adamic_adar_topk(und, k=20)
+
+
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.sim.knn import knn_label_majority
 
@@ -193,6 +244,11 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa": q_lpa,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
+    "bfs_distances": q_bfs_distances,
+    "coreness": q_coreness,
+    "scc": q_scc,
+    "clustering_coefficient": q_clustering_coefficient,
+    "link_prediction_topk": q_link_prediction,
 }
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -720,6 +776,126 @@ def _lpa_sql(iters: int = LPA_ITERS) -> str:
     return f"WITH {ctes}\nSELECT v, label FROM l{iters}"
 
 
+def _bfs_sql(max_depth: int = 12) -> str:
+    """Multi-source BFS oracle: bounded recursive walk, then MIN(d) per
+    vertex. The depth bound only truncates exploration past max_depth;
+    the gate graph's hub eccentricity is 4 (measured), and
+    tests/test_graph_extra.py pins that raising the bound is a no-op."""
+    seeds = ", ".join(f"({s}, 0)" for s in PPR_SEEDS)
+    return f"""
+WITH RECURSIVE {linkgraph.EDGES_CTE.strip().rstrip(',')},
+walk(v, d) AS (
+  SELECT CAST(s.v AS BIGINT), s.d FROM (VALUES {seeds}) s(v, d)
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN lg_edges e ON e.src = w.v
+  WHERE w.d < {max_depth}
+)
+SELECT v, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY v
+"""
+
+
+def _coreness_sql(rounds: int = 28) -> str:
+    """Unrolled H-operator iteration (graph/kcore.py semantics): h_0 =
+    degree, h_t(v) = H-index of neighbors' h_{t-1}. The fixpoint is the
+    coreness; 22 rounds reach it on the gate graph (measured), 28 gives
+    margin, and extra rounds past the fixpoint are no-ops (the operator
+    is idempotent there) — fixpointedness is pinned by
+    tests/test_graph_extra.py against an independent Python peel."""
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        _sym_cte().replace("lg_sym AS (", "lg_sym AS MATERIALIZED (", 1),
+        (
+            "h0 AS MATERIALIZED (SELECT lv.v AS v, COALESCE(d.deg, 0) AS h "
+            "FROM lg_vertices lv LEFT JOIN "
+            "(SELECT v, COUNT(*) AS deg FROM lg_sym GROUP BY v) d ON d.v = lv.v)"
+        ),
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT lv.v AS v, COALESCE(x.h, 0) AS h
+  FROM lg_vertices lv LEFT JOIN (
+    SELECT v, MAX(CASE WHEN hw >= rn THEN rn ELSE 0 END) AS h
+    FROM (
+      SELECT s.v AS v, p.h AS hw,
+             ROW_NUMBER() OVER (PARTITION BY s.v ORDER BY p.h DESC) AS rn
+      FROM lg_sym s JOIN h{t - 1} p ON p.v = s.w
+    )
+    GROUP BY v
+  ) x ON x.v = lv.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, h AS core FROM h{rounds}"
+
+
+_SCC_SQL = f"""
+WITH RECURSIVE {linkgraph.EDGES_CTE.strip().rstrip(',')},
+reach(s, v) AS (
+  SELECT v, v FROM lg_vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN lg_edges e ON e.src = r.v
+)
+SELECT a.s AS v, MIN(a.v) AS comp
+FROM reach a JOIN reach b ON b.s = a.v AND b.v = a.s
+GROUP BY a.s
+"""
+
+
+_CLUSTERING_SQL = f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM lg_undirected e1
+  JOIN lg_undirected e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN lg_undirected e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+per_v AS (
+  SELECT v, COUNT(*) AS cnt FROM (
+    SELECT UNNEST([x, y, z]) AS v FROM tri
+  ) GROUP BY v
+),
+cc_deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM lg_undirected UNION ALL SELECT b FROM lg_undirected
+  ) GROUP BY v
+)
+SELECT lv.v AS v,
+       COALESCE(d.deg, 0) AS deg,
+       COALESCE(p.cnt, 0) AS tri_cnt,
+       ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+                  THEN 2.0 * COALESCE(p.cnt, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM lg_vertices lv
+LEFT JOIN per_v p ON p.v = lv.v
+LEFT JOIN cc_deg d ON d.v = lv.v
+"""
+
+
+_LINKPRED_SQL = f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte().replace("lg_sym AS (", "lg_sym AS MATERIALIZED (", 1)},
+lp_deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM lg_sym GROUP BY v),
+wedges AS (
+  SELECT s1.w AS a, s2.w AS b, d.deg AS deg
+  FROM lg_sym s1
+  JOIN lg_sym s2 ON s2.v = s1.v AND s1.w < s2.w
+  JOIN lp_deg d ON d.v = s1.v
+),
+scores AS (
+  SELECT a, b, COUNT(*) AS common_cnt, ROUND(SUM(1.0 / ln(deg)), 6) AS aa_score
+  FROM wedges GROUP BY a, b
+),
+cand AS (
+  SELECT s.a, s.b, s.common_cnt, s.aa_score FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM lg_undirected u WHERE u.a = s.a AND u.b = s.b)
+)
+SELECT a, b, common_cnt, aa_score FROM cand
+QUALIFY ROW_NUMBER() OVER (ORDER BY aa_score DESC, a ASC, b ASC) <= 20
+"""
+
+
 GRAPH_ORACLES: dict[str, str] = {
     "degree_distribution": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
@@ -786,6 +962,11 @@ per_v AS (
 SELECT lv.v AS v, COALESCE(p.cnt, 0) AS tri_cnt
 FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
 """,
+    "bfs_distances": _bfs_sql(),
+    "coreness": _coreness_sql(),
+    "scc": _SCC_SQL,
+    "clustering_coefficient": _CLUSTERING_SQL,
+    "link_prediction_topk": _LINKPRED_SQL,
 }
 
 

@@ -1,0 +1,170 @@
+"""Strongly connected components on the DIRECTED link graph.
+
+Link-graph analysis operator (the reference engine's CC is undirected
+connectivity; SCC belongs to the webtext/link-graph axes). On a web
+corpus this is the bow-tie decomposition primitive (Broder et al.,
+WWW 2000): the giant SCC plus IN/OUT tendrils is the standard map of a
+crawl's link structure, and trivial-SCC trimming is how crawl-frontier
+dead ends are identified.
+
+Algorithm: the trim + forward-backward coloring family (public method —
+Orzan's coloring, Slota et al.'s Multistep; both are the standard
+distributed SCC formulations, chosen over Tarjan because DFS does not
+distribute). Each outer round:
+
+1. TRIM to fixpoint: a vertex with in-degree 0 or out-degree 0 in the
+   remaining graph is a singleton SCC — assign comp=v, remove, repeat.
+   This alone resolves any DAG portion without a single label round and
+   is what keeps outer-round counts low on web graphs.
+2. FORWARD COLORING: min-label propagation along edge direction to
+   fixpoint — color(v) = min vertex id that reaches v within the
+   remaining graph (messages with color >= receiver id are dropped
+   pre-shuffle, the cc.py monotonicity trick; SUM of labels is the O(1)
+   convergence certificate).
+3. BACKWARD MARK: roots are vertices with color(v) = v. Mark the root
+   set, then expand backwards along edges STAYING INSIDE the root's
+   color class, frontier-synchronously (each edge fires at most once
+   per outer round). The marked set of root r is exactly SCC(r), and
+   r is the minimum id in it — so comp = color is already the
+   canonical min-id component label, matching the undirected CC
+   convention.
+4. Assign marked SCCs, drop them from the remaining graph, repeat.
+
+Every SCC found in a round is independent (different color classes), so
+one round typically resolves many components; outer rounds are bounded
+by the depth of the SCC condensation DAG that survives trimming.
+
+Scale notes: all state is vertex-partitioned DataFrames; per inner round
+one shuffle for the message join plus the min/distinct aggregate. The
+remaining-graph edge relation is re-derived by semi-join each outer
+round and checkpointed, so lineage stays O(1) across the nested loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_outer: int = 64,
+    max_label_iter: int = 512,
+) -> DataFrame:
+    """Return (v, comp): comp is the MIN vertex id in v's strongly
+    connected component (unique canonical fixpoint, same convention as
+    the undirected CC operators). edges: (src, dst); vertices: (v)."""
+    import warnings
+
+    remaining = _checkpoint(vertices.select("v"))
+    edges_rem = _checkpoint(edges.select("src", "dst"))
+    assigned: list[DataFrame] = []
+
+    for _outer in range(max_outer):
+        # --- 1. trim singleton SCCs (in-deg 0 or out-deg 0) to fixpoint ---
+        while True:
+            has_out = edges_rem.select(F.col("src").alias("v")).distinct()
+            has_in = edges_rem.select(F.col("dst").alias("v")).distinct()
+            keep = _checkpoint(
+                remaining.join(has_out, on="v", how="left_semi").join(
+                    has_in, on="v", how="left_semi"
+                )
+            )
+            trimmed = _checkpoint(remaining.join(keep, on="v", how="left_anti"))
+            if trimmed.isEmpty():
+                break
+            assigned.append(trimmed.select("v", F.col("v").alias("comp")))
+            remaining = keep
+            edges_rem = _checkpoint(
+                edges_rem.join(keep.withColumnRenamed("v", "src"), on="src", how="left_semi")
+                .join(keep.withColumnRenamed("v", "dst"), on="dst", how="left_semi")
+            )
+        if remaining.isEmpty():
+            break
+
+        # --- 2. forward coloring: color(v) = min id reaching v ---
+        colors = _checkpoint(remaining.select("v", F.col("v").alias("color")))
+        prev_sum = colors.agg(F.sum("color")).first()[0]
+        colors_converged = False
+        for _ in range(max_label_iter):
+            msgs = (
+                edges_rem.join(
+                    colors.withColumnRenamed("v", "src"), on="src"
+                )
+                .select(F.col("dst").alias("v"), "color")
+                # color(u) <= u, so a message with color >= v can never
+                # lower v's label — drop pre-shuffle (cc.py monotonicity)
+                .where(F.col("color") < F.col("v"))
+            )
+            colors = _checkpoint(
+                msgs.unionAll(colors).groupBy("v").agg(F.min("color").alias("color"))
+            )
+            cur_sum = colors.agg(F.sum("color")).first()[0]
+            if cur_sum == prev_sum:
+                colors_converged = True
+                break
+            prev_sum = cur_sum
+        if not colors_converged:
+            # un-converged colors make the backward mark under-approximate
+            # SCCs — not a silent wrong answer we are willing to return
+            raise RuntimeError(
+                f"SCC forward coloring did not converge within "
+                f"{max_label_iter} rounds; raise max_label_iter"
+            )
+
+        # --- 3. backward mark from roots within each color class ---
+        marked = _checkpoint(
+            colors.where(F.col("color") == F.col("v")).select(
+                "v", F.col("color").alias("comp")
+            )
+        )
+        frontier = marked
+        while True:
+            cand = (
+                edges_rem.join(frontier.withColumnRenamed("v", "dst"), on="dst")
+                .select(F.col("src").alias("v"), "comp")
+                .join(colors, on="v")
+                .where(F.col("color") == F.col("comp"))
+                .select("v", "comp")
+                .distinct()
+            )
+            new = _checkpoint(
+                cand.join(marked.select("v"), on="v", how="left_anti")
+            )
+            if new.isEmpty():
+                break
+            marked = _checkpoint(marked.unionAll(new))
+            frontier = new
+
+        # --- 4. assign the SCCs found this round and shrink the graph ---
+        assigned.append(marked)
+        remaining = _checkpoint(
+            remaining.join(marked.select("v"), on="v", how="left_anti")
+        )
+        if remaining.isEmpty():
+            break
+        edges_rem = _checkpoint(
+            edges_rem.join(
+                remaining.withColumnRenamed("v", "src"), on="src", how="left_semi"
+            ).join(remaining.withColumnRenamed("v", "dst"), on="dst", how="left_semi")
+        )
+    else:
+        warnings.warn(
+            f"strongly_connected_components hit max_outer={max_outer} with "
+            "vertices unassigned — the condensation DAG is deeper than the "
+            "round budget; raise max_outer",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    if not assigned:
+        return vertices.select("v", F.col("v").alias("comp")).limit(0)
+    out = assigned[0]
+    for df in assigned[1:]:
+        out = out.unionAll(df)
+    return out

@@ -1,0 +1,69 @@
+"""Multi-source BFS hop distances — crawl-depth from a seed set.
+
+Link-graph analysis operator in the same class as PageRank/HITS (the
+reference engine is connectivity-only; this belongs to the webtext /
+link-graph axes). The canonical use on a web corpus is crawl-frontier
+depth: "how many link hops from the seed list does each page sit?" —
+the signal crawl schedulers and seed-biased curation pipelines cut on.
+
+Algorithm: synchronous frontier expansion. dist(seed) = 0; round d
+expands the round-(d-1) frontier along out-edges, keeping only vertices
+not yet reached. Unlike the min-label loops (cc.py / lpa.py) whose
+per-round messages are O(m), BFS messages are FRONTIER-sized: each edge
+fires exactly once over the whole run (when its src enters the
+frontier), so total traffic is O(m) across ALL rounds — the textbook
+level-synchronous BFS cost, and the reason this is not expressed as a
+bounded min-plus iteration.
+
+Scale notes per round: one shuffle for the frontier join (the frontier
+side is the small side — AQE broadcasts it while it fits, and web-graph
+frontiers peak at a few percent of n), one distinct on the candidate
+set, one anti-join against the visited table (hash-partitioned on v both
+times, so the exchange is reused). Lineage is cut every round
+(localCheckpoint) to keep the plan O(1); the loop terminates the first
+round the frontier comes back empty — `isEmpty` on the checkpointed
+frontier is O(1) jobs, not a full count.
+
+Unreached vertices are absent from the output (a left join against the
+vertex table is the caller's choice of NULL vs sentinel).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    max_iter: int = 128,
+) -> DataFrame:
+    """Return (v, dist) — minimum hop count from any seed along DIRECTED
+    edges (src, dst). Only reached vertices appear. max_iter bounds rounds
+    at the graph's seed eccentricity (web graphs: ~tens); hitting the cap
+    returns the correct ≤max_iter-hop ball, and distances in it are exact.
+    """
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in dict.fromkeys(seeds)], "v long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("v")
+    for d in range(1, max_iter + 1):
+        candidates = (
+            edges.join(frontier.withColumnRenamed("v", "src"), on="src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        nxt = (
+            candidates.join(dist, on="v", how="left_anti")
+            .select("v", F.lit(d).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("v")
+    return dist

@@ -72,6 +72,35 @@ def triangles_per_vertex(und_edges: DataFrame, vertices: DataFrame) -> DataFrame
     return out
 
 
+def clustering_coefficient(und_edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """(v, deg, tri_cnt, coeff): local clustering coefficient per vertex —
+    2*tri / (deg*(deg-1)), 0 for deg < 2. The standard link-farm /
+    community-density signal; rides the oriented triangle machinery above
+    (same scale bound) plus one degree aggregate. coeff is rounded to 6
+    decimals so the published value is engine-portable (the only float op
+    is one division)."""
+    tri = triangles_per_vertex(und_edges, vertices)
+    deg = (
+        und_edges.select(F.col("a").alias("v"))
+        .unionAll(und_edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = tri.join(deg, on="v", how="left").select(
+        "v",
+        F.coalesce("deg", F.lit(0)).alias("deg"),
+        "tri_cnt",
+        F.round(
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                2.0 * F.col("tri_cnt") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("coeff"),
+    )
+    return out
+
+
 def triangle_count(und_edges: DataFrame) -> DataFrame:
     """Single-row DataFrame (n_triangles) — exact global triangle count."""
     o = _oriented_by_degree(und_edges)
