@@ -40,6 +40,27 @@ from pyspark.sql import functions as F
 from landscape_spark.graph.cc import symmetrize
 
 
+def h_round(sym: DataFrame, state: DataFrame, vertices: DataFrame) -> DataFrame:
+    """One H-operator round: h'(v) = H-index of {h(w) : w ~ v}. Exposed
+    un-checkpointed so plan tests can pin the round's physical shape
+    (one join exchange + one per-vertex window exchange; the aggregate
+    rides the window's hash partitioning)."""
+    w = Window.partitionBy("v").orderBy(F.desc("hw"))
+    msgs = sym.join(
+        state.select(F.col("v").alias("w"), F.col("h").alias("hw")), on="w"
+    ).select("v", "hw")
+    new_h = (
+        msgs.withColumn("rn", F.row_number().over(w))
+        # hw desc-sorted, rn ascending: hw >= rn is prefix-closed, so
+        # the max satisfying rank IS the H-index of the neighbor values
+        .groupBy("v")
+        .agg(F.max(F.when(F.col("hw") >= F.col("rn"), F.col("rn")).otherwise(0)).alias("h"))
+    )
+    return vertices.join(new_h, on="v", how="left").select(
+        "v", F.coalesce("h", F.lit(0)).cast("long").alias("h")
+    )
+
+
 def coreness(
     und_edges: DataFrame,
     vertices: DataFrame,
@@ -59,24 +80,9 @@ def coreness(
         .localCheckpoint(eager=True)
     )
     prev_sum = state.agg(F.sum("h")).first()[0]
-    w = Window.partitionBy("v").orderBy(F.desc("hw"))
     converged = False
     for _ in range(max_iter):
-        msgs = sym.join(
-            state.select(F.col("v").alias("w"), F.col("h").alias("hw")), on="w"
-        ).select("v", "hw")
-        new_h = (
-            msgs.withColumn("rn", F.row_number().over(w))
-            # hw desc-sorted, rn ascending: hw >= rn is prefix-closed, so
-            # the max satisfying rank IS the H-index of the neighbor values
-            .groupBy("v")
-            .agg(F.max(F.when(F.col("hw") >= F.col("rn"), F.col("rn")).otherwise(0)).alias("h"))
-        )
-        state = (
-            vertices.join(new_h, on="v", how="left")
-            .select("v", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
-            .localCheckpoint(eager=True)
-        )
+        state = h_round(sym, state, vertices).localCheckpoint(eager=True)
         cur_sum = state.agg(F.sum("h")).first()[0]
         if cur_sum == prev_sum:
             converged = True

@@ -197,3 +197,55 @@ def test_tfidf_window_is_per_document(spark, sf_small):
     # same pattern as pagerank's dangling aggregate; a vertex/doc-sized
     # identity broadcast would show as a join with a non-aggregate side
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_linkpred_topk_plan_shape(spark, sf_small):
+    """Adamic-Adar top-k: the wedge self-join must be a hash join on the
+    center vertex (never CartesianProduct / nested-loop), and the final
+    top-k must compile to TakeOrderedAndProject — a global window here
+    would funnel every candidate pair through one task."""
+    from landscape_spark.graph.linkpred import adamic_adar_topk
+
+    und = linkgraph.undirected_edges(spark, sf_small)
+    plan = _plan(adamic_adar_topk(und, k=20))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_coreness_round_is_one_join_one_window_exchange(spark, sf_small):
+    """One H-operator round = state join on the neighbor key + per-vertex
+    window ranking; the following aggregate must ride the window's hash
+    partitioning (no third exchange), and the neighbor-value window must
+    partition by vertex — a global window would collapse to one task."""
+    from landscape_spark.graph.cc import symmetrize
+    from landscape_spark.graph.kcore import h_round
+
+    und = linkgraph.undirected_edges(spark, sf_small).localCheckpoint(eager=True)
+    verts = linkgraph.vertices(spark, sf_small).localCheckpoint(eager=True)
+    sym = symmetrize(und).localCheckpoint(eager=True)
+    state = verts.select("v", F.lit(1).cast("long").alias("h")).localCheckpoint(
+        eager=True
+    )
+    plan = _plan(h_round(sym, state, verts))
+    assert "hashpartitioning(v" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "IdentityBroadcastMode" not in plan, plan
+    # the H-index aggregate reuses the window's hash partitioning: at most
+    # one exchange on v (the window's), plus the join-side exchanges on w
+    win_and_agg = plan.count("hashpartitioning(v#")
+    assert win_and_agg >= 1, plan
+
+
+def test_bfs_frontier_join_no_full_graph_rescan_per_round(spark, sf_small):
+    """BFS rounds join edges to the FRONTIER (checkpointed, frontier-sized)
+    and anti-join the checkpointed dist table — the plan for a round must
+    reference localCheckpoint scans (ExistingRDD), not re-derive the
+    previous rounds' lineage, or round r costs O(r) re-computation."""
+    from landscape_spark.graph.traversal import bfs_distances
+
+    e = linkgraph.directed_edges(spark, sf_small)
+    out = bfs_distances(e, seeds=[0, 1], max_iter=2)
+    plan = _plan(out)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
