@@ -180,6 +180,26 @@ def main() -> None:
         lambda: hits(e_dir, verts, n, iters=10).count(), 2
     )
 
+    from landscape_spark.graph.kcore import coreness
+    from landscape_spark.graph.linkpred import adamic_adar_topk
+    from landscape_spark.graph.scc import strongly_connected_components
+    from landscape_spark.graph.traversal import bfs_distances
+    from landscape_spark.graph.triangles import clustering_coefficient
+
+    queries["bfs_distances"] = best_of(
+        lambda: bfs_distances(e_dir, seeds=list(range(8))).count(), 2
+    )
+    queries["coreness"] = best_of(lambda: coreness(e_und, verts).count(), 2)
+    queries["scc"] = best_of(
+        lambda: strongly_connected_components(e_dir, verts).count(), 2
+    )
+    queries["clustering_coefficient"] = best_of(
+        lambda: clustering_coefficient(e_und, verts).count(), 2
+    )
+    queries["link_prediction_top20"] = best_of(
+        lambda: adamic_adar_topk(e_und, k=20).count(), 2
+    )
+
     tri_box = [0]
     queries["triangle_count"] = best_of(
         lambda: tri_box.__setitem__(0, triangle_count(e_und).first()[0]), 2
