@@ -209,6 +209,33 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_topk(und, k=20)
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (graph/bowtie.py): CORE / IN / OUT /
+    TENDRIL / DISCONNECTED per vertex — SCC + two frontier reachability
+    sweeps + weak CC composed into one CASE projection."""
+    from landscape_spark.graph.bowtie import bowtie_decomposition
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return bowtie_decomposition(e, und, verts)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity (graph/stats.py): one self-join + one aggregate."""
+    from landscape_spark.graph.stats import reciprocity
+
+    return reciprocity(linkgraph.directed_edges(spark, sf_dir))
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity on the undirected graph
+    (graph/stats.py): degree-decorated edge ends, one global aggregate."""
+    from landscape_spark.graph.stats import degree_assortativity
+
+    return degree_assortativity(linkgraph.undirected_edges(spark, sf_dir))
+
+
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.sim.knn import knn_label_majority
 
@@ -249,6 +276,9 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scc": q_scc,
     "clustering_coefficient": q_clustering_coefficient,
     "link_prediction_topk": q_link_prediction,
+    "bowtie": q_bowtie,
+    "reciprocity": q_reciprocity,
+    "degree_assortativity": q_degree_assortativity,
 }
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -896,6 +926,85 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY aa_score DESC, a ASC, b ASC) <= 20
 """
 
 
+_BOWTIE_SQL = f"""
+WITH RECURSIVE {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte().replace("lg_sym AS (", "lg_sym AS MATERIALIZED (", 1)},
+reach(s, v) AS (
+  SELECT v, v FROM lg_vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN lg_edges e ON e.src = r.v
+),
+scc AS MATERIALIZED (
+  SELECT a.s AS v, MIN(a.v) AS comp
+  FROM reach a JOIN reach b ON b.s = a.v AND b.v = a.s
+  GROUP BY a.s
+),
+core AS MATERIALIZED (
+  SELECT v FROM scc WHERE comp = (
+    SELECT comp FROM (
+      SELECT comp, COUNT(*) AS sz FROM scc GROUP BY comp
+      ORDER BY sz DESC, comp ASC LIMIT 1
+    )
+  )
+),
+fwd AS (SELECT DISTINCT r.v FROM reach r JOIN core c ON c.v = r.s),
+bwd AS (SELECT DISTINCT r.s AS v FROM reach r JOIN core c ON c.v = r.v),
+wcc_walk(s, v) AS (
+  SELECT v, v FROM lg_vertices
+  UNION
+  SELECT w.s, sy.w FROM wcc_walk w JOIN lg_sym sy ON sy.v = w.v
+),
+wcc AS MATERIALIZED (SELECT s AS v, MIN(v) AS comp FROM wcc_walk GROUP BY s),
+core_w AS (SELECT DISTINCT w.comp FROM wcc w JOIN core c ON c.v = w.v)
+SELECT lv.v AS v,
+       CASE WHEN c.v IS NOT NULL THEN 'CORE'
+            WHEN b.v IS NOT NULL THEN 'IN'
+            WHEN f.v IS NOT NULL THEN 'OUT'
+            WHEN cw.comp IS NOT NULL THEN 'TENDRIL'
+            ELSE 'DISCONNECTED' END AS region
+FROM lg_vertices lv
+LEFT JOIN core c ON c.v = lv.v
+LEFT JOIN bwd b ON b.v = lv.v
+LEFT JOIN fwd f ON f.v = lv.v
+LEFT JOIN wcc w ON w.v = lv.v
+LEFT JOIN core_w cw ON cw.comp = w.comp
+"""
+
+
+_RECIPROCITY_SQL = f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
+SELECT (SELECT COUNT(*) FROM lg_edges) AS n_edges,
+       COUNT(*) AS n_reciprocal,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM lg_edges), 6)
+         AS reciprocity
+FROM lg_edges e
+WHERE EXISTS (SELECT 1 FROM lg_edges r WHERE r.src = e.dst AND r.dst = e.src)
+"""
+
+
+_ASSORTATIVITY_SQL = f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte().replace("lg_sym AS (", "lg_sym AS MATERIALIZED (", 1)},
+as_deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM lg_sym GROUP BY v),
+pairs AS (
+  SELECT d1.deg AS dx, d2.deg AS dy
+  FROM lg_sym s JOIN as_deg d1 ON d1.v = s.v JOIN as_deg d2 ON d2.v = s.w
+),
+agg AS (
+  SELECT COUNT(*) AS m2, SUM(dx) AS sx,
+         SUM(dx * dy) AS sxy, SUM(dx * dx) AS sxx
+  FROM pairs
+)
+SELECT (SELECT COUNT(*) FROM as_deg) AS n_vertices,
+       (SELECT COUNT(*) FROM lg_undirected) AS n_edges,
+       CASE WHEN sxx * 1.0 / m2 - (sx * 1.0 / m2) * (sx * 1.0 / m2) > 0
+            THEN ROUND((sxy * 1.0 / m2 - (sx * 1.0 / m2) * (sx * 1.0 / m2))
+                       / (sxx * 1.0 / m2 - (sx * 1.0 / m2) * (sx * 1.0 / m2)), 6)
+            END AS assortativity
+FROM agg
+"""
+
+
 GRAPH_ORACLES: dict[str, str] = {
     "degree_distribution": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
@@ -967,6 +1076,9 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "scc": _SCC_SQL,
     "clustering_coefficient": _CLUSTERING_SQL,
     "link_prediction_topk": _LINKPRED_SQL,
+    "bowtie": _BOWTIE_SQL,
+    "reciprocity": _RECIPROCITY_SQL,
+    "degree_assortativity": _ASSORTATIVITY_SQL,
 }
 
 

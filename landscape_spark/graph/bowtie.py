@@ -1,0 +1,102 @@
+"""Bow-tie decomposition of the directed link graph (Broder et al., WWW 2000).
+
+The canonical map of a web crawl's link structure: the giant strongly
+connected CORE, the IN set (reaches the core), the OUT set (reachable
+from the core), TENDRILs (weakly but not directionally attached), and
+DISCONNECTED islands. This is the standard first summary a link-graph
+user computes after SCC — it composes the engine's SCC and frontier-
+reachability primitives, adding nothing driver-sized.
+
+Region semantics (the common 5-way simplification of Broder's 6-way —
+tubes are folded into TENDRIL):
+
+- CORE:         the largest SCC (ties broken by MIN component id, so the
+                choice is deterministic and engine-portable)
+- IN:           reaches CORE, not in it
+- OUT:          reachable from CORE, not in it
+- TENDRIL:      weakly connected to CORE but neither reaches it nor is
+                reached from it (includes Broder's tubes and tendrils)
+- DISCONNECTED: in a different weak component from CORE entirely
+
+Plan shape: one SCC run (graph/scc.py), two frontier-synchronous
+reachability sweeps (forward over edges, backward over reversed edges —
+each edge fires at most once per sweep, the graph/traversal.py cost
+model), one undirected min-label CC run for the weak components, then a
+single CASE projection. All state is vertex-partitioned DataFrames;
+checkpoints bound lineage exactly as in the constituent operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from landscape_spark.graph.cc import connected_components_exact
+from landscape_spark.graph.scc import strongly_connected_components
+
+
+def _reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 512) -> DataFrame:
+    """(v) reachable from the seed DataFrame along (src, dst) edges —
+    seeds included. Frontier-synchronous: each edge fires once across the
+    run, when its src enters the reached set."""
+    reached = seeds.select("v").distinct().localCheckpoint(eager=True)
+    frontier = reached
+    for _ in range(max_iter):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("v", "src"), on="src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(reached, on="v", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    und_edges: DataFrame,
+    vertices: DataFrame,
+) -> DataFrame:
+    """Return (v, region) with region in {CORE, IN, OUT, TENDRIL,
+    DISCONNECTED}. edges: directed (src, dst); und_edges: canonical
+    (a, b) a < b of the same graph; vertices: (v)."""
+    scc = strongly_connected_components(edges, vertices).localCheckpoint(eager=True)
+    core_comp = (
+        scc.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("comp"))
+        .limit(1)
+    )
+    core = (
+        scc.join(F.broadcast(core_comp.select("comp")), on="comp")
+        .select("v")
+        .localCheckpoint(eager=True)
+    )
+    fwd = _reachable(edges, core)
+    bwd = _reachable(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")), core
+    )
+    weak = connected_components_exact(und_edges, vertices)
+    core_weak = weak.join(core, on="v").select(
+        F.col("comp").alias("core_wcomp")
+    ).distinct()
+    return (
+        vertices.join(core.select("v", F.lit(1).alias("in_core")), "v", "left")
+        .join(fwd.select("v", F.lit(1).alias("fwd")), "v", "left")
+        .join(bwd.select("v", F.lit(1).alias("bwd")), "v", "left")
+        .join(weak, "v", "left")
+        .join(F.broadcast(core_weak), F.col("comp") == F.col("core_wcomp"), "left")
+        .select(
+            "v",
+            F.when(F.col("in_core").isNotNull(), F.lit("CORE"))
+            .when(F.col("bwd").isNotNull(), F.lit("IN"))
+            .when(F.col("fwd").isNotNull(), F.lit("OUT"))
+            .when(F.col("core_wcomp").isNotNull(), F.lit("TENDRIL"))
+            .otherwise(F.lit("DISCONNECTED"))
+            .alias("region"),
+        )
+    )

@@ -341,3 +341,101 @@ def test_adamic_adar_excludes_existing_edges(spark):
     pairs = {(r.a, r.b) for r in adamic_adar_topk(e, k=100).collect()}
     assert (0, 1) not in pairs and (0, 2) not in pairs
     assert (0, 3) in pairs and (1, 3) in pairs
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition / reciprocity / assortativity
+# ---------------------------------------------------------------------------
+
+def test_bowtie_textbook_regions(spark):
+    """Hand-built graph with every region: core 3-cycle {0,1,2}, IN chain
+    9->5->4->core, OUT chain core->6->7, tendril 8 hanging off the IN set
+    (4->8: reached from the IN set only, so weakly attached but neither
+    reaches the core nor is reached from it), isolate 3 and island
+    {10, 11} disconnected."""
+    edges = [
+        (0, 1), (1, 2), (2, 0),      # CORE
+        (5, 4), (4, 0),              # IN
+        (2, 6), (6, 7),              # OUT
+        (4, 8),                      # 8: reached from IN only -> TENDRIL
+        (9, 5),                      # 9: reaches core through 5 -> IN
+        (10, 11),                    # island -> DISCONNECTED
+    ]
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    u = spark.createDataFrame(und, "a long, b long")
+    from landscape_spark.graph.bowtie import bowtie_decomposition
+
+    got = {r.v: r.region for r in
+           bowtie_decomposition(e, u, _verts(spark, 12)).collect()}
+    assert got == {
+        0: "CORE", 1: "CORE", 2: "CORE",
+        4: "IN", 5: "IN", 9: "IN",
+        6: "OUT", 7: "OUT",
+        8: "TENDRIL", 3: "DISCONNECTED",
+        10: "DISCONNECTED", 11: "DISCONNECTED",
+    }
+
+
+def test_bowtie_chain_into_core_is_in_not_tendril(spark):
+    # a vertex pointing INTO the IN set without reaching the core is a
+    # tendril only if it cannot reach the core; 8 -> 9 -> core means IN.
+    edges = [(0, 1), (1, 0), (9, 0), (8, 9)]
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    u = spark.createDataFrame(und, "a long, b long")
+    from landscape_spark.graph.bowtie import bowtie_decomposition
+
+    got = {r.v: r.region for r in
+           bowtie_decomposition(e, u, _verts(spark, 10)).collect()}
+    assert got[8] == "IN" and got[9] == "IN"
+    assert got[0] == "CORE" and got[1] == "CORE"
+
+
+def test_reciprocity_hand_check(spark):
+    from landscape_spark.graph.stats import reciprocity
+
+    # 0<->1 mutual, 2->3 one-way: 2 of 3 directed edges reciprocated
+    e = spark.createDataFrame([(0, 1), (1, 0), (2, 3)], "src long, dst long")
+    r = reciprocity(e).first()
+    assert r.n_edges == 3 and r.n_reciprocal == 2
+    assert r.reciprocity == pytest.approx(round(2 / 3, 6))
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from landscape_spark.graph.stats import degree_assortativity
+
+    # star: every edge joins the hub (deg n-1) to a leaf (deg 1) — the
+    # textbook perfectly disassortative graph, r = -1
+    e = spark.createDataFrame([(0, i) for i in range(1, 6)], "a long, b long")
+    r = degree_assortativity(e).first()
+    assert r.assortativity == pytest.approx(-1.0)
+    assert r.n_vertices == 6 and r.n_edges == 5
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from landscape_spark.graph.stats import degree_assortativity
+
+    # 4-cycle: every degree 2, zero variance -> undefined (NULL)
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "a long, b long")
+    r = degree_assortativity(e).first()
+    assert r.assortativity is None
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    import numpy as np
+    from landscape_spark.graph.stats import degree_assortativity
+
+    edges = _rand_undirected(23, 30, 70)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1]
+    e = spark.createDataFrame(edges, "a long, b long")
+    r = degree_assortativity(e).first()
+    assert r.assortativity == pytest.approx(round(want, 6), abs=2e-6)
