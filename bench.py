@@ -200,6 +200,17 @@ def main() -> None:
         lambda: adamic_adar_topk(e_und, k=20).count(), 2
     )
 
+    from landscape_spark.graph.bowtie import bowtie_decomposition
+    from landscape_spark.graph.stats import degree_assortativity, reciprocity
+
+    queries["bowtie"] = best_of(
+        lambda: bowtie_decomposition(e_dir, e_und, verts).count(), 2
+    )
+    queries["reciprocity"] = best_of(lambda: reciprocity(e_dir).count(), 2)
+    queries["degree_assortativity"] = best_of(
+        lambda: degree_assortativity(e_und).count(), 2
+    )
+
     tri_box = [0]
     queries["triangle_count"] = best_of(
         lambda: tri_box.__setitem__(0, triangle_count(e_und).first()[0]), 2

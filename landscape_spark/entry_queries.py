@@ -947,8 +947,12 @@ core AS MATERIALIZED (
     )
   )
 ),
-fwd AS (SELECT DISTINCT r.v FROM reach r JOIN core c ON c.v = r.s),
-bwd AS (SELECT DISTINCT r.s AS v FROM reach r JOIN core c ON c.v = r.v),
+fwd AS MATERIALIZED (SELECT DISTINCT r.v FROM reach r JOIN core c ON c.v = r.s),
+bwd AS MATERIALIZED (SELECT DISTINCT r.s AS v FROM reach r JOIN core c ON c.v = r.v),
+in_set AS (SELECT v FROM bwd WHERE v NOT IN (SELECT v FROM core)),
+out_set AS (SELECT v FROM fwd WHERE v NOT IN (SELECT v FROM core)),
+from_in AS (SELECT DISTINCT r.v FROM reach r JOIN in_set i ON i.v = r.s),
+to_out AS (SELECT DISTINCT r.s AS v FROM reach r JOIN out_set o ON o.v = r.v),
 wcc_walk(s, v) AS (
   SELECT v, v FROM lg_vertices
   UNION
@@ -960,12 +964,15 @@ SELECT lv.v AS v,
        CASE WHEN c.v IS NOT NULL THEN 'CORE'
             WHEN b.v IS NOT NULL THEN 'IN'
             WHEN f.v IS NOT NULL THEN 'OUT'
+            WHEN fi.v IS NOT NULL AND t.v IS NOT NULL THEN 'TUBE'
             WHEN cw.comp IS NOT NULL THEN 'TENDRIL'
             ELSE 'DISCONNECTED' END AS region
 FROM lg_vertices lv
 LEFT JOIN core c ON c.v = lv.v
 LEFT JOIN bwd b ON b.v = lv.v
 LEFT JOIN fwd f ON f.v = lv.v
+LEFT JOIN from_in fi ON fi.v = lv.v
+LEFT JOIN to_out t ON t.v = lv.v
 LEFT JOIN wcc w ON w.v = lv.v
 LEFT JOIN core_w cw ON cw.comp = w.comp
 """

@@ -7,23 +7,25 @@ DISCONNECTED islands. This is the standard first summary a link-graph
 user computes after SCC — it composes the engine's SCC and frontier-
 reachability primitives, adding nothing driver-sized.
 
-Region semantics (the common 5-way simplification of Broder's 6-way —
-tubes are folded into TENDRIL):
+Region semantics (Broder's full 6-way map):
 
 - CORE:         the largest SCC (ties broken by MIN component id, so the
                 choice is deterministic and engine-portable)
 - IN:           reaches CORE, not in it
 - OUT:          reachable from CORE, not in it
-- TENDRIL:      weakly connected to CORE but neither reaches it nor is
-                reached from it (includes Broder's tubes and tendrils)
+- TUBE:         on an IN→OUT path that bypasses the core (reachable from
+                the IN set AND reaches the OUT set, in none of the above)
+- TENDRIL:      weakly connected to CORE but in none of the above
+                (hangs off IN forward-only, or feeds OUT backward-only)
 - DISCONNECTED: in a different weak component from CORE entirely
 
-Plan shape: one SCC run (graph/scc.py), two frontier-synchronous
-reachability sweeps (forward over edges, backward over reversed edges —
-each edge fires at most once per sweep, the graph/traversal.py cost
-model), one undirected min-label CC run for the weak components, then a
-single CASE projection. All state is vertex-partitioned DataFrames;
-checkpoints bound lineage exactly as in the constituent operators.
+Plan shape: one SCC run (graph/scc.py), four frontier-synchronous
+reachability sweeps (forward/backward from the core, forward from IN,
+backward from OUT — each edge fires at most once per sweep, the
+graph/traversal.py cost model), one undirected min-label CC run for the
+weak components, then a single CASE projection. All state is
+vertex-partitioned DataFrames; checkpoints bound lineage exactly as in
+the constituent operators.
 """
 
 from __future__ import annotations
@@ -61,9 +63,10 @@ def bowtie_decomposition(
     und_edges: DataFrame,
     vertices: DataFrame,
 ) -> DataFrame:
-    """Return (v, region) with region in {CORE, IN, OUT, TENDRIL,
+    """Return (v, region) with region in {CORE, IN, OUT, TUBE, TENDRIL,
     DISCONNECTED}. edges: directed (src, dst); und_edges: canonical
     (a, b) a < b of the same graph; vertices: (v)."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     scc = strongly_connected_components(edges, vertices).localCheckpoint(eager=True)
     core_comp = (
         scc.groupBy("comp")
@@ -76,10 +79,15 @@ def bowtie_decomposition(
         .select("v")
         .localCheckpoint(eager=True)
     )
-    fwd = _reachable(edges, core)
-    bwd = _reachable(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")), core
-    )
+    fwd = _reachable(edges, core)  # core + OUT
+    bwd = _reachable(rev, core)  # core + IN
+    in_set = bwd.join(core, on="v", how="left_anti").localCheckpoint(eager=True)
+    out_set = fwd.join(core, on="v", how="left_anti").localCheckpoint(eager=True)
+    # TUBE membership: reachable from IN and reaching OUT while outside
+    # core/IN/OUT. Seeds include IN/OUT themselves; the CASE order makes
+    # that harmless (IN/OUT/CORE win first).
+    from_in = _reachable(edges, in_set)
+    to_out = _reachable(rev, out_set)
     weak = connected_components_exact(und_edges, vertices)
     core_weak = weak.join(core, on="v").select(
         F.col("comp").alias("core_wcomp")
@@ -88,6 +96,8 @@ def bowtie_decomposition(
         vertices.join(core.select("v", F.lit(1).alias("in_core")), "v", "left")
         .join(fwd.select("v", F.lit(1).alias("fwd")), "v", "left")
         .join(bwd.select("v", F.lit(1).alias("bwd")), "v", "left")
+        .join(from_in.select("v", F.lit(1).alias("from_in")), "v", "left")
+        .join(to_out.select("v", F.lit(1).alias("to_out")), "v", "left")
         .join(weak, "v", "left")
         .join(F.broadcast(core_weak), F.col("comp") == F.col("core_wcomp"), "left")
         .select(
@@ -95,6 +105,10 @@ def bowtie_decomposition(
             F.when(F.col("in_core").isNotNull(), F.lit("CORE"))
             .when(F.col("bwd").isNotNull(), F.lit("IN"))
             .when(F.col("fwd").isNotNull(), F.lit("OUT"))
+            .when(
+                F.col("from_in").isNotNull() & F.col("to_out").isNotNull(),
+                F.lit("TUBE"),
+            )
             .when(F.col("core_wcomp").isNotNull(), F.lit("TENDRIL"))
             .otherwise(F.lit("DISCONNECTED"))
             .alias("region"),

@@ -377,6 +377,26 @@ def test_bowtie_textbook_regions(spark):
     }
 
 
+def test_bowtie_tube_bypasses_core(spark):
+    """Broder TUBE: an IN->OUT path that skips the core. Core {0,1},
+    IN = {4}, OUT = {5}; 4 -> 6 -> 5 makes 6 a TUBE (reachable from the
+    IN set AND reaches the OUT set without touching the core); a sibling
+    7 reached from IN that goes nowhere is a TENDRIL."""
+    edges = [(0, 1), (1, 0), (4, 0), (1, 5), (4, 6), (6, 5), (4, 7)]
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    u = spark.createDataFrame(und, "a long, b long")
+    from landscape_spark.graph.bowtie import bowtie_decomposition
+
+    got = {r.v: r.region for r in
+           bowtie_decomposition(e, u, _verts(spark, 8)).collect()}
+    assert got == {
+        0: "CORE", 1: "CORE", 4: "IN", 5: "OUT",
+        6: "TUBE", 7: "TENDRIL",
+        2: "DISCONNECTED", 3: "DISCONNECTED",
+    }
+
+
 def test_bowtie_chain_into_core_is_in_not_tendril(spark):
     # a vertex pointing INTO the IN set without reaching the core is a
     # tendril only if it cannot reach the core; 8 -> 9 -> core means IN.
