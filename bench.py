@@ -135,6 +135,11 @@ def main() -> None:
     )
     pr_iter_sec = queries["pagerank_10iter"] / pr_iters
 
+    e_w = linkgraph.weighted_directed_edges(spark, sf_dir)
+    queries["pagerank_weighted_10iter"] = best_of(
+        lambda: pagerank(e_w, verts, n, iters=pr_iters, weight_col="w").count(), 2
+    )
+
     # the CSR/treeAggregate SpMV variant (dense-vector regime fast path):
     # the one-time index build (shuffle + pack + broadcast) is reported
     # separately from pure iteration time — "PageRank iteration wall-time"

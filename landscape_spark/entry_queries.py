@@ -76,6 +76,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: rank split proportional to edge weight
+    (deterministic link-multiplicity law linkgraph.WEIGHT_SQL); same
+    kernel, same shuffle count (graph/pagerank.py weight_col)."""
+    e = linkgraph.weighted_directed_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    pr = pagerank(e, verts, n, iters=PR_ITERS, damping=PR_DAMPING, weight_col="w")
+    return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
+
+
 def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CSR/treeAggregate SpMV PageRank (north-star required execution
     shape). Same semantics as q_pagerank — it shares that oracle, so the
@@ -268,6 +279,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_csr_blocked": q_pagerank_csr_blocked,
     "personalized_pagerank": q_personalized_pagerank,
     "hits": q_hits,
+    "pagerank_weighted": q_pagerank_weighted,
     "lpa": q_lpa,
     "triangle_count": q_triangle_count,
     "triangles_per_vertex": q_triangles_per_vertex,
@@ -692,6 +704,42 @@ def _pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     return f"WITH {ctes}\nSELECT v, ROUND(r, 6) AS pr_score FROM r{iters}"
 
 
+def _pagerank_weighted_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Weighted-PageRank oracle: same unrolled MATERIALIZED-CTE shape as
+    _pagerank_sql with contribution r·w/W(src); the weight law is
+    linkgraph.WEIGHT_SQL on both engines."""
+    w = linkgraph.WEIGHT_SQL
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        f"prw_e AS MATERIALIZED (SELECT src, dst, {w} AS w FROM lg_edges)",
+        "prw_deg AS MATERIALIZED (SELECT src, SUM(w) AS out_deg FROM prw_e GROUP BY src)",
+        "w0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM lg_n) AS r FROM lg_vertices)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"w{t - 1}"
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT lv.v AS v,
+         (1 - {d}) / (SELECT n FROM lg_n)
+         + {d} * (
+             COALESCE(c.c, 0)
+             + (SELECT COALESCE(SUM(r), 0) FROM {prev}
+                WHERE v NOT IN (SELECT src FROM prw_deg)) / (SELECT n FROM lg_n)
+           ) AS r
+  FROM lg_vertices lv
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.r * e.w / dg.out_deg) AS c
+    FROM prw_e e
+    JOIN {prev} p ON p.v = e.src
+    JOIN prw_deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.v = lv.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, ROUND(r, 6) AS pr_score FROM w{iters}"
+
+
 def _ppr_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
     """Personalized PageRank oracle: teleport vector p = uniform over the
     seed set (PPR_SEEDS = hubs 0..7), dangling mass redistributed by p.
@@ -1050,6 +1098,7 @@ SELECT comp, COUNT(*) AS comp_size FROM (
 ) GROUP BY comp
 """,
     "pagerank": _pagerank_sql(),
+    "pagerank_weighted": _pagerank_weighted_sql(),
     "pagerank_csr": _pagerank_sql(),
     "pagerank_csr_blocked": _pagerank_sql(),
     "personalized_pagerank": _ppr_sql(),

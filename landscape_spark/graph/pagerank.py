@@ -43,11 +43,22 @@ def pagerank(
     start_ranks: DataFrame | None = None,
     start_iter: int = 0,
     lineage_every: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Return (v, pr_score) after ``iters`` synchronous power iterations
     (or earlier if ``tol`` given and max |delta| < tol).
 
     edges: directed distinct (src, dst). vertices: (v), dense 0..N-1.
+
+    ``weight_col``: name of a POSITIVE edge-weight column on ``edges``
+    (link multiplicity, anchor quality, ...). Each vertex then splits its
+    rank proportionally to weight — contribution r(src)·w/W(src) with
+    W(src) the total outgoing weight — instead of uniformly 1/out_deg.
+    Weights must be > 0 (a zero-total source would divide by zero; with
+    all weights positive the dangling set is identical to the unweighted
+    one). None keeps the exact unweighted plan — same arithmetic, same
+    shuffle count; the weighted variant adds only the weight column to
+    the cached edge relation.
 
     checkpoint_dir enables durable per-iteration checkpoints (north rule:
     resumable from checkpoint with per-partition lineage + metrics): every
@@ -78,10 +89,18 @@ def pagerank(
     n = float(n_vertices)
     spark = edges.sparkSession
     num_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if weight_col is None:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        ew_cols = ["src", "dst", "out_deg"]
+    else:
+        deg = edges.groupBy("src").agg(
+            F.sum(F.col(weight_col).cast("double")).alias("out_deg")
+        )
+        edges = edges.withColumn("_w", F.col(weight_col).cast("double"))
+        ew_cols = ["src", "dst", "_w", "out_deg"]
     ew = (
         edges.join(deg, on="src")
-        .select("src", "dst", "out_deg")
+        .select(*ew_cols)
         .repartition(num_part, "src")
         .cache()
     )
@@ -132,10 +151,15 @@ def pagerank(
     # auto path caps B at 2; caller-supplied values clamp to 4.
     lineage_every = max(1, min(int(lineage_every), 4))
 
+    share = (
+        F.col("r") / F.col("out_deg")
+        if weight_col is None
+        else F.col("r") * F.col("_w") / F.col("out_deg")
+    )
     for _it in range(start_iter, iters):
         contrib = (
             ew.join(ranks, ew.src == ranks.v)
-            .select(F.col("dst").alias("v"), (F.col("r") / F.col("out_deg")).alias("c"))
+            .select(F.col("dst").alias("v"), share.alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )

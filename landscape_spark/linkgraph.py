@@ -77,6 +77,20 @@ def vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(num_vertices(spark, sf_dir)).select(F.col("id").alias("v"))
 
 
+# deterministic synthetic positive weight 1..5 per directed edge — the
+# link-multiplicity stand-in for the weighted-PageRank gate; the DuckDB
+# oracle applies the same law (WEIGHT_SQL) so values agree bit-for-bit
+WEIGHT_SQL = "((src * 7 + dst * 13) % 5 + 1)"
+
+
+def weighted_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): directed_edges decorated with the deterministic
+    weight law above — pure projection, no extra shuffle."""
+    return directed_edges(spark, sf_dir).withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst") * 13) % 5 + 1).cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL fragments (ANSI, arithmetic identical to the Spark law)
 # ---------------------------------------------------------------------------

@@ -86,3 +86,49 @@ def test_pagerank_lineage_every_clamped(spark, sf_small):
     # unclamped B=8 doubles the plan 8x (~2^8 nodes) and took minutes;
     # clamped runs in normal time
     assert elapsed < 60, f"clamp ineffective? {elapsed:.0f}s"
+
+
+def test_pagerank_weighted_python_reference(spark):
+    """Weighted power iteration vs a direct Python reference: rank splits
+    proportional to edge weight, dangling mass uniform."""
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (3, 0, 5.0)]
+    n, iters, d = 5, 6, 0.85
+    r = [1.0 / n] * n
+    W = {}
+    for s, _, w in edges:
+        W[s] = W.get(s, 0.0) + w
+    for _ in range(iters):
+        contrib = [0.0] * n
+        for s, t, w in edges:
+            contrib[t] += r[s] * w / W[s]
+        dang = sum(r[v] for v in range(n) if v not in W)
+        r = [(1 - d) / n + d * (contrib[v] + dang / n) for v in range(n)]
+    from pyspark.sql import functions as F
+
+    from landscape_spark.graph.pagerank import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long, w double")
+    verts = spark.range(n).select(F.col("id").alias("v"))
+    got = {row.v: row.pr_score for row in
+           pagerank(e, verts, n, iters=iters, weight_col="w").collect()}
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+
+def test_pagerank_unit_weights_equal_unweighted(spark, sf_small):
+    """weight_col with all-1 weights must reproduce the unweighted values
+    exactly — the weighted path changes arithmetic only through w."""
+    from pyspark.sql import functions as F
+
+    from landscape_spark import linkgraph
+    from landscape_spark.graph.pagerank import pagerank
+
+    e = linkgraph.directed_edges(spark, sf_small).withColumn("one", F.lit(1))
+    n = linkgraph.num_vertices(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    a = sorted((r.v, r.pr_score) for r in pagerank(e, verts, n, iters=4).collect())
+    b = sorted(
+        (r.v, r.pr_score)
+        for r in pagerank(e, verts, n, iters=4, weight_col="one").collect()
+    )
+    assert a == b
