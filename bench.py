@@ -212,6 +212,12 @@ def main() -> None:
         lambda: bowtie_decomposition(e_dir, e_und, verts).count(), 2
     )
     queries["reciprocity"] = best_of(lambda: reciprocity(e_dir).count(), 2)
+
+    from landscape_spark.graph.anf import neighborhood_function
+
+    queries["anf_neighborhood"] = best_of(
+        lambda: neighborhood_function(e_dir, verts).count(), 2
+    )
     queries["degree_assortativity"] = best_of(
         lambda: degree_assortativity(e_und).count(), 2
     )

@@ -220,6 +220,18 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_topk(und, k=20)
 
 
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function (graph/anf.py): per-vertex HLL ball
+    counters max-merged along edges, one bounded shuffle per hop. Rows-
+    only gate (no DuckDB xxhash64 twin) — deterministic output, accuracy
+    property-tested against exact BFS ball sizes in test_graph_extra."""
+    from landscape_spark.graph.anf import neighborhood_function
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return neighborhood_function(e, verts)
+
+
 def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder bow-tie decomposition (graph/bowtie.py): CORE / IN / OUT /
     TENDRIL / DISCONNECTED per vertex — SCC + two frontier reachability
@@ -291,6 +303,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bowtie": q_bowtie,
     "reciprocity": q_reciprocity,
     "degree_assortativity": q_degree_assortativity,
+    "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
 }
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -459,3 +459,88 @@ def test_assortativity_matches_numpy_pearson(spark):
     e = spark.createDataFrame(edges, "a long, b long")
     r = degree_assortativity(e).first()
     assert r.assortativity == pytest.approx(round(want, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# HyperANF neighborhood function / effective diameter
+# ---------------------------------------------------------------------------
+
+def _nf_py(edges, n):
+    """Exact neighborhood function by n BFS runs."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    counts = {}
+    for s in range(n):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for d in dist.values():
+            counts[d] = counts.get(d, 0) + 1
+    out, acc = [], 0
+    for h in range(max(counts) + 1):
+        acc += counts.get(h, 0)
+        out.append(acc)
+    return out  # out[h] = N(h)
+
+
+@pytest.mark.parametrize("seed,n,m", [(31, 50, 120), (32, 80, 160)])
+def test_anf_tracks_exact_neighborhood_function(spark, seed, n, m):
+    """HLL with m=64 registers: per-ball σ ≈ 13%; the SUM over vertices
+    concentrates further. 20% relative tolerance at every h, and the
+    sketch run must terminate at exactly the exact NF's last growing h
+    (the fixpoint certificate is exact even though values are estimates)."""
+    from landscape_spark.graph.anf import neighborhood_function
+
+    edges = _rand_digraph(seed, n, m)
+    want = _nf_py(edges, n)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.h: r.n_pairs_est for r in
+           neighborhood_function(e, _verts(spark, n)).collect()}
+    assert max(got) == len(want) - 1  # identical horizon
+    for h, exact in enumerate(want):
+        assert abs(got[h] - exact) / exact < 0.20, (h, got[h], exact)
+    # monotone in h (register merge is monotone, estimator is monotone in
+    # the register vector)
+    vals = [got[h] for h in sorted(got)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_anf_partitioning_invariant(spark):
+    """Estimates are a pure function of the edge SET: shuffling the input
+    partitioning must reproduce every value bit-for-bit (max-merge is
+    commutative/associative/idempotent)."""
+    from landscape_spark.graph.anf import neighborhood_function
+
+    edges = _rand_digraph(33, 40, 100)
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = e1.repartition(7)
+    v = _verts(spark, 40)
+    a = sorted((r.h, r.n_pairs_est) for r in neighborhood_function(e1, v).collect())
+    b = sorted((r.h, r.n_pairs_est) for r in neighborhood_function(e2, v).collect())
+    assert a == b
+
+
+def test_effective_diameter_path_graph(spark):
+    from landscape_spark.graph.anf import effective_diameter
+
+    # 0->1->2->3: N = [4,7,9,10]; target 0.9*N(inf)=9 -> eff diam = 2.0
+    # exactly under linear interpolation; HLL noise moves it only slightly
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    r = effective_diameter(e, _verts(spark, 4)).first()
+    assert 1.5 < r.effective_diameter < 2.5
+    assert abs(r.n_pairs_reachable_est - 10) / 10 < 0.2
+
+
+def test_anf_empty_graph_all_singletons(spark):
+    from landscape_spark.graph.anf import neighborhood_function
+
+    e = spark.createDataFrame([], "src long, dst long")
+    rows = neighborhood_function(e, _verts(spark, 30)).collect()
+    assert len(rows) == 1 and rows[0].h == 0
+    assert abs(rows[0].n_pairs_est - 30) / 30 < 0.15
