@@ -249,3 +249,27 @@ def test_bfs_frontier_join_no_full_graph_rescan_per_round(spark, sf_small):
     plan = _plan(out)
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_anf_round_is_jvm_side_no_cartesian(spark, sf_small):
+    """One HyperANF hop: the element-wise register max must compile to m
+    plain hash aggregates over the edge join — no CartesianProduct, no
+    python UDF (BatchEvalPython), no explode (Generate) of the register
+    array."""
+    from landscape_spark.graph.anf import _init_registers
+
+    e = linkgraph.directed_edges(spark, sf_small).localCheckpoint(eager=True)
+    verts = linkgraph.vertices(spark, sf_small)
+    state = _init_registers(verts, log2m=6, seed=42).localCheckpoint(eager=True)
+    m = 64
+    nbr = (
+        e.join(state.withColumnRenamed("v", "dst"), on="dst")
+        .groupBy(F.col("src").alias("v"))
+        .agg(*[F.max(F.element_at(F.col("regs"), i + 1)).alias(f"_m{i}")
+               for i in range(m)])
+    )
+    plan = _plan(nbr)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "HashAggregate" in plan, plan
