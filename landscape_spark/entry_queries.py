@@ -220,6 +220,39 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_topk(und, k=20)
 
 
+HOST_MOD = 97  # synthetic page->host law (host = doc_id mod 97): the
+# deterministic stand-in for url-host extraction, same law in the oracles
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page graph contracted to the host graph (graph/contract.py): two
+    mapping joins + one aggregate; cross-host edges only, weight = link
+    multiplicity."""
+    from landscape_spark.graph.contract import contract_graph
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    mapping = verts.select("v", (F.col("v") % HOST_MOD).alias("unit"))
+    return contract_graph(e, mapping)
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the contraction exists for: weighted PageRank on
+    the host graph — contract_graph output feeds pagerank(weight_col=)
+    unchanged."""
+    from landscape_spark.graph.contract import contract_graph
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    mapping = verts.select("v", (F.col("v") % HOST_MOD).alias("unit"))
+    hg = contract_graph(e, mapping)
+    hverts = mapping.select(F.col("unit").alias("v")).distinct()
+    n_hosts = hverts.count()
+    pr = pagerank(hg, hverts, n_hosts, iters=PR_ITERS, damping=PR_DAMPING,
+                  weight_col="weight")
+    return pr.select("v", F.round("pr_score", 6).alias("pr_score"))
+
+
 def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF neighborhood function (graph/anf.py): per-vertex HLL ball
     counters max-merged along edges, one bounded shuffle per hop. Rows-
@@ -304,6 +337,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reciprocity": q_reciprocity,
     "degree_assortativity": q_degree_assortativity,
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
+    "host_graph": q_host_graph,
+    "host_pagerank": q_host_pagerank,
 }
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1073,6 +1108,63 @@ FROM agg
 """
 
 
+_HOST_GRAPH_CTE = (
+    "host_g AS MATERIALIZED (\n"
+    f"  SELECT src % {{hm}} AS src, dst % {{hm}} AS dst, COUNT(*) AS weight\n"
+    "  FROM lg_edges\n"
+    f"  WHERE src % {{hm}} <> dst % {{hm}}\n"
+    "  GROUP BY 1, 2\n"
+    ")"
+)
+
+
+def _host_graph_sql() -> str:
+    cte = _HOST_GRAPH_CTE.format(hm=HOST_MOD)
+    return f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{cte}
+SELECT src, dst, weight FROM host_g
+"""
+
+
+def _host_pagerank_sql(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """Weighted PageRank over the contracted host graph: the same
+    unrolled shape as _pagerank_weighted_sql with host_g as the edge
+    relation and the distinct host set as the vertex space."""
+    cte = _HOST_GRAPH_CTE.format(hm=HOST_MOD)
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        cte,
+        f"h_verts AS MATERIALIZED (SELECT DISTINCT v % {HOST_MOD} AS v FROM lg_vertices)",
+        "h_n AS (SELECT COUNT(*) AS n FROM h_verts)",
+        "h_deg AS MATERIALIZED (SELECT src, SUM(weight) AS out_deg FROM host_g GROUP BY src)",
+        "hp0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM h_n) AS r FROM h_verts)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"hp{t - 1}"
+        parts.append(
+            f"""hp{t} AS MATERIALIZED (
+  SELECT hv.v AS v,
+         (1 - {d}) / (SELECT n FROM h_n)
+         + {d} * (
+             COALESCE(c.c, 0)
+             + (SELECT COALESCE(SUM(r), 0) FROM {prev}
+                WHERE v NOT IN (SELECT src FROM h_deg)) / (SELECT n FROM h_n)
+           ) AS r
+  FROM h_verts hv
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(p.r * e.weight / dg.out_deg) AS c
+    FROM host_g e
+    JOIN {prev} p ON p.v = e.src
+    JOIN h_deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.v = hv.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, ROUND(r, 6) AS pr_score FROM hp{iters}"
+
+
 GRAPH_ORACLES: dict[str, str] = {
     "degree_distribution": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
@@ -1148,6 +1240,8 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "bowtie": _BOWTIE_SQL,
     "reciprocity": _RECIPROCITY_SQL,
     "degree_assortativity": _ASSORTATIVITY_SQL,
+    "host_graph": _host_graph_sql(),
+    "host_pagerank": _host_pagerank_sql(),
 }
 
 
