@@ -218,6 +218,13 @@ def main() -> None:
     queries["anf_neighborhood"] = best_of(
         lambda: neighborhood_function(e_dir, verts).count(), 2
     )
+
+    from landscape_spark.graph.contract import contract_graph
+
+    host_map = verts.select("v", (F.col("v") % 97).alias("unit"))
+    queries["host_graph_contract"] = best_of(
+        lambda: contract_graph(e_dir, host_map).count(), 2
+    )
     queries["degree_assortativity"] = best_of(
         lambda: degree_assortativity(e_und).count(), 2
     )
