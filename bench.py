@@ -219,6 +219,12 @@ def main() -> None:
         lambda: neighborhood_function(e_dir, verts).count(), 2
     )
 
+    from landscape_spark.graph.anf import harmonic_centrality
+
+    queries["harmonic_centrality"] = best_of(
+        lambda: harmonic_centrality(e_dir, verts).count(), 2
+    )
+
     from landscape_spark.graph.contract import contract_graph
 
     host_map = verts.select("v", (F.col("v") % 97).alias("unit"))

@@ -224,6 +224,18 @@ HOST_MOD = 97  # synthetic page->host law (host = doc_id mod 97): the
 # deterministic stand-in for url-host extraction, same law in the oracles
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality (graph/anf.py): per-vertex incoming
+    geometric centrality off the same HLL ball recursion as HyperANF.
+    Rows-only (sketch estimates); accuracy property-tested vs exact
+    all-BFS harmonic sums."""
+    from landscape_spark.graph.anf import harmonic_centrality
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return harmonic_centrality(e, verts)
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page graph contracted to the host graph (graph/contract.py): two
     mapping joins + one aggregate; cross-host edges only, weight = link
@@ -339,6 +351,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
     "host_graph": q_host_graph,
     "host_pagerank": q_host_pagerank,
+    "harmonic_centrality": q_harmonic_centrality,  # rows-only: HLL estimates
 }
 
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -200,3 +200,79 @@ def effective_diameter(
         [(round(eff, 6), round(n_inf, 6))],
         "effective_diameter double, n_pairs_reachable_est double",
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_h: int = 64,
+    log2m: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna, "In-core computation
+    of geometric centralities with HyperBall", ICDMW 2013 — the public
+    method for per-vertex centrality at web scale): for each vertex v,
+
+        H(v) = sum over u != v of 1 / d(u, v)
+
+    (the incoming convention — how quickly the rest of the graph reaches
+    v; the standard web-centrality orientation, computed by running the
+    ball recursion on REVERSED edges, which this function does
+    internally). Per hop h, each vertex's counter gains
+    (|ball_in(v,h)| - |ball_in(v,h-1)|) new vertices at distance exactly
+    h, each contributing 1/h — so the centrality accumulates from the
+    SAME counter sequence HyperANF already computes; the marginal cost
+    over neighborhood_function is one O(n) projection per hop.
+
+    Returns (v, harmonic) with the estimate rounded to 6 decimals.
+    Deterministic (same xxhash64 init + idempotent max-merge as
+    neighborhood_function); the integer register sum is the exact
+    fixpoint certificate, so the accumulation stops exactly when every
+    in-ball is complete. Isolated / unreachable-from-everywhere vertices
+    score ~0 (their ball never grows)."""
+    m = 1 << log2m
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    reg_sum = F.aggregate(F.col("regs"), F.lit(0), lambda a, r: a + r)
+    est = _estimate_expr(m)
+    state = (
+        _init_registers(vertices, log2m, seed)
+        .select("v", "regs", est.alias("prev_est"), F.lit(0.0).alias("hc"))
+        .localCheckpoint(eager=True)
+    )
+    prev_cert = state.select(F.sum(reg_sum)).first()[0]
+    elem_max = [
+        F.max(F.element_at(F.col("regs"), i + 1)).alias(f"_m{i}") for i in range(m)
+    ]
+    for h in range(1, max_h + 1):
+        nbr = (
+            rev.join(state.select("v", "regs").withColumnRenamed("v", "dst"), on="dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(*elem_max)
+            .select("v", F.array(*[F.col(f"_m{i}") for i in range(m)]).alias("nregs"))
+        )
+        merged = (
+            state.join(nbr, on="v", how="left")
+            .select(
+                "v",
+                F.when(F.col("nregs").isNull(), F.col("regs"))
+                .otherwise(F.zip_with("regs", "nregs", lambda a, b: F.greatest(a, b)))
+                .alias("regs"),
+                "prev_est",
+                "hc",
+            )
+        )
+        state = merged.select(
+            "v",
+            "regs",
+            est.alias("prev_est"),
+            # ball growth at this hop, each new member at distance exactly h
+            (
+                F.col("hc")
+                + F.greatest(est - F.col("prev_est"), F.lit(0.0)) / F.lit(float(h))
+            ).alias("hc"),
+        ).localCheckpoint(eager=True)
+        cert = state.select(F.sum(reg_sum)).first()[0]
+        if cert == prev_cert:
+            break
+        prev_cert = cert
+    return state.select("v", F.round("hc", 6).alias("harmonic"))

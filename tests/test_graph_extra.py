@@ -594,3 +594,54 @@ def test_contract_graph_feeds_weighted_pagerank(spark):
     a = sorted(map(tuple, hg.collect()))
     b = sorted(map(tuple, hg2.collect()))
     assert a == b
+
+
+def _harmonic_py(edges, n):
+    """Exact incoming harmonic centrality by n forward-BFS runs."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    hc = [0.0] * n
+    for s in range(n):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                hc[v] += 1.0 / d
+    return hc
+
+
+def test_harmonic_centrality_tracks_exact(spark):
+    """HyperBall estimate per vertex vs the exact all-BFS harmonic sum:
+    20% relative tolerance for well-centered vertices, near-zero for
+    vertices nothing reaches."""
+    from landscape_spark.graph.anf import harmonic_centrality
+
+    edges = _rand_digraph(51, 40, 130)
+    want = _harmonic_py(edges, 40)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.harmonic for r in
+           harmonic_centrality(e, _verts(spark, 40)).collect()}
+    for v in range(40):
+        if want[v] < 0.5:
+            assert got[v] < max(1.0, 2 * want[v] + 0.5), (v, got[v], want[v])
+        else:
+            assert abs(got[v] - want[v]) / want[v] < 0.20, (v, got[v], want[v])
+
+
+def test_harmonic_centrality_star_and_isolates(spark):
+    from landscape_spark.graph.anf import harmonic_centrality
+
+    # 1,2,3 -> 0: H(0) ~ 3, leaves and the isolate 4 are exactly 0 (their
+    # in-ball never grows, so no hop ever contributes)
+    e = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    got = {r.v: r.harmonic for r in
+           harmonic_centrality(e, _verts(spark, 5)).collect()}
+    assert abs(got[0] - 3) / 3 < 0.2
+    assert got[1] == got[2] == got[3] == got[4] == 0.0
