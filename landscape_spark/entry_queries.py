@@ -25,6 +25,11 @@ LPA_ITERS = 5
 HITS_ITERS = 10
 PPR_SEEDS = list(range(8))  # the link graph's hub vertices (linkgraph.N_HUBS)
 TFIDF_K = 5
+KATZ_ITERS = 10
+KATZ_ALPHA = 0.005  # < 1/lambda_max on the gate graph (hub in-degree bound)
+KATZ_BETA = 1.0
+JACCARD_K = 20
+POWERLAW_DMIN = 3
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +309,62 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(linkgraph.undirected_edges(spark, sf_dir))
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (graph/katz.py): attenuated walk counts into each
+    page — the damped in-link prestige score that, unlike PageRank, gives
+    full per-link credit. Fixed 10-iteration partial sum; oracle unrolls
+    the identical recurrence."""
+    from landscape_spark.graph.katz import katz_centrality
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    x = katz_centrality(e, verts, iters=KATZ_ITERS, alpha=KATZ_ALPHA, beta=KATZ_BETA)
+    return x.select("v", F.round("katz", 6).alias("katz"))
+
+
+def q_rectangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-cycle / rectangle count (graph/motifs.py): the co-citation /
+    link-farm motif one step up from triangles. Uncapped (exact) at gate
+    scale; max_center_degree is the documented 100TB hub knob."""
+    from landscape_spark.graph.motifs import rectangle_count
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    return rectangle_count(und)
+
+
+def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (graph/linkpred.py): top-20
+    non-adjacent pairs by |N(a)∩N(b)| / |N(a)∪N(b)| — the link-structure
+    near-duplicate detector beside Adamic–Adar's evidence score."""
+    from landscape_spark.graph.linkpred import jaccard_topk
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    return jaccard_topk(und, k=JACCARD_K)
+
+
+def q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman–Girvan modularity of the engine's own LPA partition
+    (graph/stats.py) — detect communities, then score the partition, one
+    composed plan. The oracle recomputes LPA's unrolled CTE chain and the
+    same Q formula."""
+    from landscape_spark.graph.stats import modularity
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    labels = label_propagation(und, verts, iters=LPA_ITERS).select("v", "label")
+    return modularity(und, labels)
+
+
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the in-degree tail (graph/stats.py, CSN
+    continuous MLE) — the crawl-skew dial every web-graph report quotes
+    next to the degree distribution."""
+    from landscape_spark.graph.stats import degree_powerlaw_alpha
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    return degree_powerlaw_alpha(e, dmin=POWERLAW_DMIN)
+
+
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.sim.knn import knn_label_majority
 
@@ -348,6 +409,11 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bowtie": q_bowtie,
     "reciprocity": q_reciprocity,
     "degree_assortativity": q_degree_assortativity,
+    "katz": q_katz,
+    "rectangle_count": q_rectangle_count,
+    "jaccard_topk": q_jaccard_topk,
+    "modularity_lpa": q_modularity_lpa,
+    "degree_powerlaw": q_degree_powerlaw,
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
     "host_graph": q_host_graph,
     "host_pagerank": q_host_pagerank,
@@ -889,7 +955,9 @@ def _hits_sql(iters: int = HITS_ITERS) -> str:
     )
 
 
-def _lpa_sql(iters: int = LPA_ITERS) -> str:
+def _lpa_parts(iters: int = LPA_ITERS) -> tuple[list[str], str]:
+    """The LPA oracle's CTE chain + the name of its final label table —
+    shared by the lpa gate and the modularity composition gate."""
     parts = [
         linkgraph.EDGES_CTE.strip().rstrip(","),
         _sym_cte().replace("lg_sym AS (", "lg_sym AS MATERIALIZED (", 1),
@@ -911,8 +979,81 @@ def _lpa_sql(iters: int = LPA_ITERS) -> str:
   ) b ON b.v = cur.v
 )"""
         )
+    return parts, f"l{iters}"
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    parts, final = _lpa_parts(iters)
     ctes = ",\n".join(parts)
-    return f"WITH {ctes}\nSELECT v, label FROM l{iters}"
+    return f"WITH {ctes}\nSELECT v, label FROM {final}"
+
+
+def _katz_sql(iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA,
+              beta: float = KATZ_BETA) -> str:
+    """Katz oracle: the identical fixed-iteration recurrence unrolled
+    (graph/katz.py fixes the semantics — x_0 = beta, full per-link
+    credit, no degree normalization)."""
+    # CAST the literals: DuckDB parses bare decimal-point literals as
+    # DECIMAL, which would run the whole recurrence in decimal arithmetic
+    # (Spark's is double) and publish DECIMAL-typed results
+    b, a = f"CAST({beta} AS DOUBLE)", f"CAST({alpha} AS DOUBLE)"
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        f"k0 AS MATERIALIZED (SELECT v, {b} AS x FROM lg_vertices)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""k{t} AS MATERIALIZED (
+  SELECT lv.v AS v, {b} + {a} * COALESCE(c.c, 0) AS x
+  FROM lg_vertices lv
+  LEFT JOIN (
+    SELECT e.dst AS v, SUM(k.x) AS c
+    FROM lg_edges e JOIN k{t - 1} k ON k.v = e.src
+    GROUP BY e.dst
+  ) c ON c.v = lv.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, ROUND(x, 6) AS katz FROM k{iters}"
+
+
+def _modularity_sql(iters: int = LPA_ITERS) -> str:
+    """Modularity oracle over the LPA oracle's own label chain — the same
+    composition the Spark gate runs (graph/stats.py::modularity)."""
+    parts, final = _lpa_parts(iters)
+    parts.append(
+        "md_deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM lg_sym GROUP BY v)"
+    )
+    parts.append(
+        "md_m AS MATERIALIZED (SELECT COUNT(*) AS m FROM lg_undirected)"
+    )
+    parts.append(
+        f"""md_intra AS MATERIALIZED (
+  SELECT la.label AS label, COUNT(*) AS m_c
+  FROM lg_undirected e
+  JOIN {final} la ON la.v = e.a
+  JOIN {final} lb ON lb.v = e.b
+  WHERE la.label = lb.label
+  GROUP BY la.label
+)"""
+    )
+    parts.append(
+        f"""md_dc AS MATERIALIZED (
+  SELECT l.label AS label, COALESCE(SUM(d.deg), 0) AS d_c
+  FROM {final} l LEFT JOIN md_deg d ON d.v = l.v
+  GROUP BY l.label
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT COUNT(*) AS n_communities,
+       (SELECT m FROM md_m) AS n_edges,
+       CASE WHEN (SELECT m FROM md_m) > 0 THEN
+         ROUND(SUM(COALESCE(i.m_c, 0)) / (SELECT m FROM md_m)
+               - SUM(d.d_c * d.d_c)
+                 / (4.0 * (SELECT m FROM md_m) * (SELECT m FROM md_m)), 6)
+       END AS modularity
+FROM md_dc d LEFT JOIN md_intra i ON i.label = d.label"""
 
 
 def _bfs_sql(max_depth: int = 12) -> str:
@@ -1255,6 +1396,55 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "degree_assortativity": _ASSORTATIVITY_SQL,
     "host_graph": _host_graph_sql(),
     "host_pagerank": _host_pagerank_sql(),
+    "katz": _katz_sql(),
+    "modularity_lpa": _modularity_sql(),
+    "rectangle_count": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte()},
+rc_pairs AS (
+  SELECT s1.w AS a, s2.w AS b, COUNT(*) AS cnt
+  FROM lg_sym s1 JOIN lg_sym s2 ON s2.v = s1.v AND s1.w < s2.w
+  GROUP BY s1.w, s2.w
+)
+SELECT COUNT(*) AS n_wedge_pairs,
+       CAST(COALESCE(SUM(cnt * (cnt - 1)), 0) // 4 AS BIGINT) AS n_rectangles
+FROM rc_pairs
+""",
+    "jaccard_topk": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte()},
+jd AS (SELECT v, COUNT(*) AS deg FROM lg_sym GROUP BY v),
+jp AS (
+  SELECT s1.w AS a, s2.w AS b, COUNT(*) AS common_cnt
+  FROM lg_sym s1 JOIN lg_sym s2 ON s2.v = s1.v AND s1.w < s2.w
+  GROUP BY s1.w, s2.w
+),
+jc AS (
+  SELECT p.a AS a, p.b AS b, p.common_cnt AS common_cnt,
+         ROUND(p.common_cnt / (da.deg + db.deg - p.common_cnt), 6) AS jaccard
+  FROM jp p
+  JOIN jd da ON da.v = p.a
+  JOIN jd db ON db.v = p.b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lg_undirected u WHERE u.a = p.a AND u.b = p.b
+  )
+)
+SELECT a, b, common_cnt, jaccard FROM (
+  SELECT a, b, common_cnt, jaccard,
+         ROW_NUMBER() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS rn
+  FROM jc
+) WHERE rn <= {JACCARD_K}
+""",
+    "degree_powerlaw": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')}
+SELECT {POWERLAW_DMIN} AS dmin,
+       COUNT(*) AS n_tail,
+       CASE WHEN COUNT(*) > 0 THEN
+         ROUND(1.0 + COUNT(*) / SUM(LN(deg / {POWERLAW_DMIN - 0.5})), 6)
+       END AS alpha
+FROM (SELECT dst, COUNT(*) AS deg FROM lg_edges GROUP BY dst)
+WHERE deg >= {POWERLAW_DMIN}
+""",
 }
 
 

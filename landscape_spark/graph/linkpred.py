@@ -69,3 +69,58 @@ def adamic_adar_topk(
         .limit(int(k))
         .select("a", "b", "common_cnt", "aa_score")
     )
+
+
+def jaccard_topk(
+    und_edges: DataFrame,
+    k: int = 20,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Top-k NON-adjacent pairs (a, b, common_cnt, jaccard) by neighborhood
+    Jaccard similarity |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the size-normalized
+    companion to Adamic–Adar (two pages sharing most of their neighborhoods
+    are near-duplicates of the link structure, the graph-side analogue of
+    the text near-dup detectors).
+
+    Same wedge plan as adamic_adar_topk plus two degree-decoration joins on
+    the surviving candidate pairs (|N(a) ∪ N(b)| = deg a + deg b − common).
+    Ranking is on the ROUNDED score with (a, b) tie-break — the sort key IS
+    the published value. ``max_wedge_degree`` caps the wedge CENTER degree
+    (100TB hub knob; None = exact)."""
+    sym = symmetrize(und_edges)
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym
+    if max_wedge_degree is not None:
+        centers = sym.join(
+            deg.where(F.col("deg") <= F.lit(int(max_wedge_degree))).select("v"),
+            on="v",
+            how="left_semi",
+        )
+    left = centers.select("v", F.col("w").alias("a"))
+    right = centers.select("v", F.col("w").alias("b"))
+    pairs = (
+        left.join(right, on="v")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    cand = (
+        pairs.join(und_edges, on=["a", "b"], how="left_anti")
+        .join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), on="a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), on="b")
+        .select(
+            "a",
+            "b",
+            "common_cnt",
+            F.round(
+                F.col("common_cnt")
+                / (F.col("da") + F.col("db") - F.col("common_cnt")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(int(k))
+        .select("a", "b", "common_cnt", "jaccard")
+    )

@@ -1,5 +1,5 @@
-"""Scalar structure metrics of the link graph: reciprocity and degree
-assortativity.
+"""Scalar structure metrics of the link graph: reciprocity, degree
+assortativity, partition modularity, and the power-law degree exponent.
 
 Both are one-row summary statistics a web-graph user computes alongside
 the degree distribution: reciprocity (what fraction of hyperlinks are
@@ -91,4 +91,93 @@ def degree_assortativity(und_edges: DataFrame) -> DataFrame:
             "n_edges",
             F.when(var > 0, F.round(cov / var, 6)).alias("assortativity"),
         )
+    )
+
+
+def modularity(und_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One row (n_communities, n_edges, modularity): Newman–Girvan
+    modularity Q of a vertex partition over the UNDIRECTED graph —
+
+        Q = sum_c [ m_c / m  -  ( d_c / (2m) )^2 ]
+
+    (m = edge count, m_c = intra-community edges, d_c = total degree of
+    community c). THE quality score for a community detection run — the
+    gate composes it over the engine's own LPA output, closing the loop
+    "detect communities, then score the partition".
+
+    ``labels``: (v, label) covering every vertex (LPA's output shape).
+    Vertices with degree 0 contribute nothing to either term; a partition
+    on an edgeless graph yields NULL (m = 0, Q undefined). Plan: one
+    degree aggregate, two label-decoration joins on the edge list, two
+    community aggregates, one global fold — no iteration."""
+    lab_a = labels.select(F.col("v").alias("a"), F.col("label").alias("la"))
+    lab_b = labels.select(F.col("v").alias("b"), F.col("label").alias("lb"))
+    decorated = und_edges.join(lab_a, on="a").join(lab_b, on="b")
+    intra = (
+        decorated.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    sym = symmetrize(und_edges)
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    d_c = (
+        labels.join(deg, on="v", how="left")
+        .groupBy("label")
+        .agg(F.coalesce(F.sum("deg"), F.lit(0)).alias("d_c"))
+    )
+    per_comm = d_c.join(intra, on="label", how="left").select(
+        "label", "d_c", F.coalesce(F.col("m_c"), F.lit(0)).alias("m_c")
+    )
+    m = und_edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        per_comm.agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("m_c").alias("s_mc"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("s_dc2"),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_communities",
+            "n_edges",
+            F.when(
+                F.col("n_edges") > 0,
+                F.round(
+                    F.col("s_mc") / F.col("n_edges")
+                    - F.col("s_dc2")
+                    / (4.0 * F.col("n_edges") * F.col("n_edges")),
+                    6,
+                ),
+            ).alias("modularity"),
+        )
+    )
+
+
+def degree_powerlaw_alpha(edges: DataFrame, dmin: int = 3) -> DataFrame:
+    """One row (dmin, n_tail, alpha): continuous-MLE (Hill / Clauset–
+    Shalizi–Newman eq. 3.1 with the standard −1/2 discreteness shift)
+    estimate of the power-law exponent of the IN-degree tail —
+
+        alpha = 1 + n_tail / sum_{d_i >= dmin} ln( d_i / (dmin - 0.5) )
+
+    Web-graph in-degrees are the canonical power law (alpha ≈ 2.1 in
+    Broder et al. WWW 2000); a curation pipeline watches this exponent to
+    detect crawl skew. NULL when the tail is empty or degenerate (all
+    tail degrees would need dmin >= 1; the log sum is > 0 whenever
+    n_tail > 0 since d_i >= dmin > dmin - 0.5). Plan: one degree
+    aggregate + one global fold — two shuffles, no iteration."""
+    dmin = int(dmin)
+    deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    tail = deg.where(F.col("deg") >= F.lit(dmin))
+    return tail.agg(
+        F.lit(dmin).alias("dmin"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                1.0
+                + F.count(F.lit(1))
+                / F.sum(F.log(F.col("deg") / F.lit(dmin - 0.5))),
+                6,
+            ),
+        ).alias("alpha"),
     )

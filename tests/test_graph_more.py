@@ -1,0 +1,242 @@
+"""Katz centrality, rectangle (4-cycle) counting, Jaccard link prediction,
+partition modularity, and the power-law degree exponent — each vs an
+independent pure-Python/numpy oracle on hand-built and randomized graphs,
+plus the specific degenerates and knob-containment properties the module
+docstrings promise."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from landscape_spark.graph.katz import katz_centrality
+from landscape_spark.graph.linkpred import jaccard_topk
+from landscape_spark.graph.motifs import rectangle_count
+from landscape_spark.graph.stats import degree_powerlaw_alpha, modularity
+
+
+def _verts(spark, n):
+    return spark.range(n).select(F.col("id").alias("v"))
+
+
+def _rand_digraph(seed, n, m):
+    rng = random.Random(seed)
+    return sorted({(a, b) for a, b in ((rng.randrange(n), rng.randrange(n))
+                                       for _ in range(m)) if a != b})
+
+
+def _rand_undirected(seed, n, m):
+    rng = random.Random(seed)
+    return sorted({(min(a, b), max(a, b))
+                   for a, b in ((rng.randrange(n), rng.randrange(n))
+                                for _ in range(m)) if a != b})
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality
+# ---------------------------------------------------------------------------
+
+def _katz_np(edges, n, iters, alpha, beta):
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    x = np.full(n, beta)
+    for _ in range(iters):
+        x = beta + alpha * (A.T @ x)
+    return x
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_katz_matches_numpy(spark, seed):
+    n = 50
+    edges = _rand_digraph(seed, n, 200)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.katz
+           for r in katz_centrality(e, _verts(spark, n), iters=8,
+                                    alpha=0.01, beta=1.0).collect()}
+    want = _katz_np(edges, n, iters=8, alpha=0.01, beta=1.0)
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_katz_isolated_vertex_is_beta(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r.v: r.katz
+           for r in katz_centrality(e, _verts(spark, 3), iters=5,
+                                    alpha=0.1, beta=2.0).collect()}
+    # v=2 isolated, v=0 no in-links: both exactly beta
+    assert got[2] == 2.0 and got[0] == 2.0
+    # v=1: beta + alpha*beta (v0's score is constant at beta)
+    assert got[1] == pytest.approx(2.0 + 0.1 * 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Rectangle (4-cycle) count
+# ---------------------------------------------------------------------------
+
+def _rect_brute(edges):
+    """Independent oracle: ordered 4-tuples forming a closed walk over
+    distinct vertices, / 8 (4 rotations x 2 directions)."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    vs = sorted(nbrs)
+    cnt = 0
+    for t in itertools.permutations(vs, 4):
+        v0, v1, v2, v3 = t
+        if (v1 in nbrs[v0] and v2 in nbrs[v1]
+                and v3 in nbrs[v2] and v0 in nbrs[v3]):
+            cnt += 1
+    assert cnt % 8 == 0
+    return cnt // 8
+
+
+@pytest.mark.parametrize(
+    "edges,want",
+    [
+        ([(0, 1), (1, 2), (2, 3), (0, 3)], 1),            # plain square
+        ([(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)], 1),    # chord adds none
+        ([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], 3),  # K4
+        ([(0, 2), (0, 3), (1, 2), (1, 3)], 1),            # K2,2 butterfly
+        ([(0, 1), (1, 2)], 0),                            # path: wedge only
+    ],
+)
+def test_rectangle_hand_graphs(spark, edges, want):
+    e = spark.createDataFrame(edges, "a long, b long")
+    row = rectangle_count(e).first()
+    assert row.n_rectangles == want
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_rectangle_matches_brute_force(spark, seed):
+    edges = _rand_undirected(seed, 14, 40)
+    e = spark.createDataFrame(edges, "a long, b long")
+    assert rectangle_count(e).first().n_rectangles == _rect_brute(edges)
+
+
+def test_rectangle_center_cap_is_monotone(spark):
+    """The 100TB hub knob only removes wedges: capped count <= uncapped,
+    and a cap above the max degree is a no-op."""
+    edges = _rand_undirected(7, 20, 70)
+    e = spark.createDataFrame(edges, "a long, b long")
+    exact = rectangle_count(e).first().n_rectangles
+    capped = rectangle_count(e, max_center_degree=3).first().n_rectangles
+    assert capped <= exact
+    assert rectangle_count(e, max_center_degree=10**6).first().n_rectangles == exact
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction
+# ---------------------------------------------------------------------------
+
+def _jaccard_py(edges, k):
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    eset = set(edges)
+    rows = []
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        if (a, b) in eset:
+            continue
+        common = len(nbrs[a] & nbrs[b])
+        if common == 0:
+            continue
+        union = len(nbrs[a] | nbrs[b])
+        rows.append((a, b, common, round(common / union, 6)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_jaccard_topk_matches_python(spark, seed):
+    edges = _rand_undirected(seed, 30, 90)
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = [tuple(r) for r in jaccard_topk(e, k=10).collect()]
+    assert got == _jaccard_py(edges, 10)
+
+
+# ---------------------------------------------------------------------------
+# Modularity
+# ---------------------------------------------------------------------------
+
+def _modularity_py(edges, labels):
+    m = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    comms = set(labels.values())
+    q = 0.0
+    for c in comms:
+        m_c = sum(1 for a, b in edges if labels[a] == c and labels[b] == c)
+        d_c = sum(d for v, d in deg.items() if labels[v] == c) + 0
+        d_c += sum(0 for v in labels if labels[v] == c and v not in deg)
+        q += m_c / m - (d_c / (2 * m)) ** 2
+    return q
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge, partitioned into the two
+    triangles — the textbook example."""
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    labels = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    e = spark.createDataFrame(edges, "a long, b long")
+    lab = spark.createDataFrame(sorted(labels.items()), "v long, label long")
+    row = modularity(e, lab).first()
+    assert row.n_communities == 2 and row.n_edges == 7
+    assert row.modularity == pytest.approx(
+        round(_modularity_py(edges, labels), 6), abs=2e-6
+    )
+
+
+@pytest.mark.parametrize("seed", [8, 9])
+def test_modularity_matches_python(spark, seed):
+    edges = _rand_undirected(seed, 25, 60)
+    labels = {v: v % 4 for v in range(25)}
+    e = spark.createDataFrame(edges, "a long, b long")
+    lab = spark.createDataFrame(sorted(labels.items()), "v long, label long")
+    got = modularity(e, lab).first().modularity
+    assert got == pytest.approx(round(_modularity_py(edges, labels), 6), abs=2e-6)
+
+
+def test_modularity_single_community_and_edgeless(spark):
+    edges = [(0, 1), (1, 2)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    lab = spark.createDataFrame([(v, 0) for v in range(3)], "v long, label long")
+    # one community holding everything: Q = 1 - 1 = 0
+    assert modularity(e, lab).first().modularity == pytest.approx(0.0)
+    empty = spark.createDataFrame([], "a long, b long")
+    row = modularity(empty, lab).first()
+    assert row.n_edges == 0 and row.modularity is None
+
+
+# ---------------------------------------------------------------------------
+# Power-law exponent
+# ---------------------------------------------------------------------------
+
+def test_powerlaw_alpha_matches_python(spark):
+    edges = _rand_digraph(10, 40, 260)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    dmin = 3
+    indeg = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    tail = [d for d in indeg.values() if d >= dmin]
+    want = 1.0 + len(tail) / sum(math.log(d / (dmin - 0.5)) for d in tail)
+    row = degree_powerlaw_alpha(e, dmin=dmin).first()
+    assert row.n_tail == len(tail) and row.dmin == dmin
+    assert row.alpha == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_powerlaw_empty_tail_is_null(spark):
+    e = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
+    row = degree_powerlaw_alpha(e, dmin=100).first()
+    assert row.n_tail == 0 and row.alpha is None

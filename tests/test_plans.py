@@ -273,3 +273,32 @@ def test_anf_round_is_jvm_side_no_cartesian(spark, sf_small):
     assert "BatchEvalPython" not in plan, plan
     assert "Generate" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_katz_iteration_has_no_vertex_sized_broadcast(spark, sf_small):
+    """Katz reuses the pagerank join-path discipline: the rank update is a
+    hash join + aggregate, never an O(n) identity broadcast inside the
+    loop (no broadcast at all is required — there is no dangling scalar)."""
+    from landscape_spark.graph.katz import katz_centrality
+
+    e = linkgraph.directed_edges(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    plan = _plan(katz_centrality(e, verts, iters=1))
+    assert "IdentityBroadcastMode" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_motif_and_jaccard_paths_no_cartesian(spark, sf_small):
+    """Rectangle counting and Jaccard link prediction ride the wedge
+    self-join: must stay hash joins (no cartesian / nested-loop fallback),
+    and the Jaccard top-k must compile to TakeOrderedAndProject, not a
+    global single-partition window."""
+    from landscape_spark.graph.linkpred import jaccard_topk
+    from landscape_spark.graph.motifs import rectangle_count
+
+    und = linkgraph.undirected_edges(spark, sf_small)
+    for df in (rectangle_count(und), jaccard_topk(und, k=10)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in _plan(jaccard_topk(und, k=10))
