@@ -30,6 +30,8 @@ KATZ_ALPHA = 0.005  # < 1/lambda_max on the gate graph (hub in-degree bound)
 KATZ_BETA = 1.0
 JACCARD_K = 20
 POWERLAW_DMIN = 3
+KTRUSS_K = 4
+KTRUSS_ORACLE_ROUNDS = 12  # measured fixpoint at sf0.01 is 8; margin 4
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +367,27 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_powerlaw_alpha(e, dmin=POWERLAW_DMIN)
 
 
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support (graph/truss.py) — rides the degree-
+    oriented triangle enumeration; 0-support edges included."""
+    from landscape_spark.graph.truss import edge_support
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    return edge_support(und)
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the link graph (graph/truss.py synchronous peel —
+    deterministic, converges in 8 rounds at sf0.01). The oracle unrolls
+    the identical peel {KTRUSS_ORACLE_ROUNDS} rounds (fixpoint + margin;
+    extra rounds are no-ops by idempotence — the coreness-oracle
+    precedent)."""
+    from landscape_spark.graph.truss import k_truss
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    return k_truss(und, k=KTRUSS_K)
+
+
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.sim.knn import knn_label_majority
 
@@ -414,6 +437,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_topk": q_jaccard_topk,
     "modularity_lpa": q_modularity_lpa,
     "degree_powerlaw": q_degree_powerlaw,
+    "edge_support": q_edge_support,
+    "ktruss": q_ktruss,
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
     "host_graph": q_host_graph,
     "host_pagerank": q_host_pagerank,
@@ -1056,6 +1081,63 @@ SELECT COUNT(*) AS n_communities,
 FROM md_dc d LEFT JOIN md_intra i ON i.label = d.label"""
 
 
+def _supp_round_sql(e: str, t: int) -> list[str]:
+    """One truss-peel round's CTEs over edge table ``e``: vid-oriented
+    (a<b<c) triangle listing + per-edge support aggregate."""
+    return [
+        f"""tt{t} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {e} e1
+  JOIN {e} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {e} e3 ON e3.a = e1.b AND e3.b = e2.b
+)""",
+        f"""ts{t} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS support FROM (
+    SELECT x AS a, y AS b FROM tt{t}
+    UNION ALL SELECT x AS a, z AS b FROM tt{t}
+    UNION ALL SELECT y AS a, z AS b FROM tt{t}
+  ) GROUP BY a, b
+)""",
+    ]
+
+
+def _edge_support_sql() -> str:
+    parts = [linkgraph.EDGES_CTE.strip().rstrip(",")]
+    parts += _supp_round_sql("lg_undirected", 0)
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT u.a AS a, u.b AS b, COALESCE(s.support, 0) AS support
+FROM lg_undirected u LEFT JOIN ts0 s ON s.a = u.a AND s.b = u.b"""
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
+    """Unrolled synchronous truss peel (graph/truss.py semantics): round t
+    deletes every edge with support < k-2 within the round-t subgraph.
+    The measured fixpoint at sf0.01 is 8 rounds; the unroll runs
+    ``rounds`` with margin — past the fixpoint each round is a no-op
+    (idempotent), the same argument as the coreness oracle. Output: the
+    surviving edges with their within-truss support (ts of the last
+    round restricted to >= k-2; truss edges always have support >= k-2
+    >= 1 for k >= 3, so the triangle-incident aggregate covers them)."""
+    assert k >= 3
+    parts = [linkgraph.EDGES_CTE.strip().rstrip(",")]
+    e = "lg_undirected"
+    for t in range(rounds):
+        parts += _supp_round_sql(e, t)
+        parts.append(
+            f"""te{t + 1} AS MATERIALIZED (
+  SELECT a, b FROM ts{t} WHERE support >= {k - 2}
+)"""
+        )
+        e = f"te{t + 1}"
+    parts += _supp_round_sql(e, rounds)
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT a, b, support FROM ts{rounds} WHERE support >= {k - 2}"
+    )
+
+
 def _bfs_sql(max_depth: int = 12) -> str:
     """Multi-source BFS oracle: bounded recursive walk, then MIN(d) per
     vertex. The depth bound only truncates exploration past max_depth;
@@ -1398,6 +1480,8 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "host_pagerank": _host_pagerank_sql(),
     "katz": _katz_sql(),
     "modularity_lpa": _modularity_sql(),
+    "edge_support": _edge_support_sql(),
+    "ktruss": _ktruss_sql(),
     "rectangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 {_sym_cte()},

@@ -240,3 +240,82 @@ def test_powerlaw_empty_tail_is_null(spark):
     e = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
     row = degree_powerlaw_alpha(e, dmin=100).first()
     assert row.n_tail == 0 and row.alpha is None
+
+
+# ---------------------------------------------------------------------------
+# Edge support / k-truss
+# ---------------------------------------------------------------------------
+
+def _support_py(edges):
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return {(a, b): len(nbrs[a] & nbrs[b]) for a, b in edges}
+
+
+def _ktruss_py(edges, k):
+    cur = set(edges)
+    while True:
+        supp = _support_py(sorted(cur))
+        bad = {e for e in cur if supp[e] < k - 2}
+        if not bad:
+            return {e: supp[e] for e in sorted(cur)}
+        cur -= bad
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_edge_support_matches_python(spark, seed):
+    from landscape_spark.graph.truss import edge_support
+
+    edges = _rand_undirected(seed, 25, 80)
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {(r.a, r.b): r.support for r in edge_support(e).collect()}
+    assert got == _support_py(edges)
+
+
+@pytest.mark.parametrize("seed,k", [(13, 3), (13, 4), (14, 4), (15, 5)])
+def test_ktruss_matches_python_peel(spark, seed, k):
+    from landscape_spark.graph.truss import k_truss
+
+    edges = _rand_undirected(seed, 25, 90)
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {(r.a, r.b): r.support for r in k_truss(e, k).collect()}
+    assert got == _ktruss_py(edges, k)
+
+
+def test_ktruss_hand_graphs(spark):
+    from landscape_spark.graph.truss import k_truss
+
+    # K4 + pendant: 4-truss = the K4 (every edge in exactly 2 triangles)
+    k4p = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    e = spark.createDataFrame(k4p, "a long, b long")
+    got = sorted(map(tuple, k_truss(e, 4).collect()))
+    assert got == [(0, 1, 2), (0, 2, 2), (0, 3, 2), (1, 2, 2), (1, 3, 2),
+                   (2, 3, 2)]
+    # two triangles sharing an edge: 3-truss keeps all, 4-truss is empty
+    # (the shared edge alone has support 2, but its neighbors peel away)
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    e2 = spark.createDataFrame(bowtie, "a long, b long")
+    assert k_truss(e2, 3).count() == 5
+    assert k_truss(e2, 4).count() == 0
+    # k <= 2 returns the whole graph with full-graph supports
+    assert k_truss(e2, 2).count() == 5
+
+
+def test_ktruss_triangle_free_is_empty(spark):
+    from landscape_spark.graph.truss import k_truss
+
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    e = spark.createDataFrame(star, "a long, b long")
+    assert k_truss(e, 3).count() == 0
+
+
+def test_edge_support_no_cartesian(spark, sf_small):
+    from landscape_spark import linkgraph
+    from landscape_spark.graph.truss import edge_support
+
+    und = linkgraph.undirected_edges(spark, sf_small)
+    plan = edge_support(und)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
