@@ -32,6 +32,9 @@ JACCARD_K = 20
 POWERLAW_DMIN = 3
 KTRUSS_K = 4
 KTRUSS_ORACLE_ROUNDS = 12  # measured fixpoint at sf0.01 is 8; margin 4
+WALK_LEN = 6
+WALKS_PER_VERTEX = 2
+SKIPGRAM_WINDOW = 2
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +391,32 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(und, k=KTRUSS_K)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style random walks (graph/walks.py): 2 walks
+    of 6 hops from every vertex under the public LCG hop law — the
+    graph-embedding corpus generator. The oracle replays the identical
+    law over the same dst-ranked adjacency."""
+    from landscape_spark.graph.walks import random_walks
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return random_walks(
+        e, verts, walk_len=WALK_LEN, walks_per_vertex=WALKS_PER_VERTEX
+    )
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram positive pairs over the walk corpus (graph/walks.py):
+    (center, context, n_pairs) within a 2-position forward window — the
+    artifact an embedding trainer actually consumes."""
+    from landscape_spark.graph.walks import random_walks, skipgram_pairs
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    w = random_walks(e, verts, walk_len=WALK_LEN, walks_per_vertex=WALKS_PER_VERTEX)
+    return skipgram_pairs(w, window=SKIPGRAM_WINDOW)
+
+
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark.sim.knn import knn_label_majority
 
@@ -439,6 +468,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_powerlaw": q_degree_powerlaw,
     "edge_support": q_edge_support,
     "ktruss": q_ktruss,
+    "random_walks": q_random_walks,
+    "skipgram_pairs": q_skipgram_pairs,
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
     "host_graph": q_host_graph,
     "host_pagerank": q_host_pagerank,
@@ -1138,6 +1169,60 @@ def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ORACLE_ROUNDS) -> str:
     )
 
 
+def _walks_parts(
+    walk_len: int = WALK_LEN, walks_per_vertex: int = WALKS_PER_VERTEX
+) -> tuple[list[str], str]:
+    """The random-walk oracle's CTE chain (graph/walks.py hop law replayed
+    verbatim) + the UNION-ALL select of all step levels."""
+    from landscape_spark.graph.walks import H_ADD, H_MOD, H_STEP, H_V, H_WALK, WALK_SHIFT
+
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        """wadj AS MATERIALIZED (
+  SELECT src, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank,
+         dst, COUNT(*) OVER (PARTITION BY src) AS out_deg
+  FROM lg_edges
+)""",
+        f"""wk0 AS MATERIALIZED (
+  SELECT v AS start_v, CAST(t.wk AS BIGINT) AS walk, 0 AS step, v
+  FROM lg_vertices, (SELECT UNNEST(range({walks_per_vertex})) AS wk) t
+)""",
+    ]
+    for t in range(1, walk_len + 1):
+        parts.append(
+            f"""wk{t} AS MATERIALIZED (
+  SELECT w.start_v, w.walk, {t} AS step, a.dst AS v
+  FROM wk{t - 1} w
+  JOIN wadj a ON a.src = w.v
+   AND a.rank = (((w.v % {H_MOD}) * {H_V} + {(t - 1) * H_STEP}
+                  + ((w.start_v * {WALK_SHIFT} + w.walk) % {H_MOD}) * {H_WALK}
+                  + {H_ADD}) % {H_MOD}) % a.out_deg
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT start_v, walk, step, v FROM wk{t}" for t in range(walk_len + 1)
+    )
+    return parts, union
+
+
+def _walks_sql() -> str:
+    parts, union = _walks_parts()
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\n{union}"
+
+
+def _skipgram_sql(window: int = SKIPGRAM_WINDOW) -> str:
+    parts, union = _walks_parts()
+    parts.append(f"wk_all AS MATERIALIZED (\n{union}\n)")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT a.v AS center, b.v AS context, COUNT(*) AS n_pairs
+FROM wk_all a
+JOIN wk_all b ON b.start_v = a.start_v AND b.walk = a.walk
+ AND b.step > a.step AND b.step - a.step <= {window}
+GROUP BY a.v, b.v"""
+
+
 def _bfs_sql(max_depth: int = 12) -> str:
     """Multi-source BFS oracle: bounded recursive walk, then MIN(d) per
     vertex. The depth bound only truncates exploration past max_depth;
@@ -1482,6 +1567,8 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "modularity_lpa": _modularity_sql(),
     "edge_support": _edge_support_sql(),
     "ktruss": _ktruss_sql(),
+    "random_walks": _walks_sql(),
+    "skipgram_pairs": _skipgram_sql(),
     "rectangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 {_sym_cte()},

@@ -319,3 +319,104 @@ def test_edge_support_no_cartesian(spark, sf_small):
     plan = edge_support(und)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks / skip-gram pairs
+# ---------------------------------------------------------------------------
+
+def _walks_py(edges, n, walk_len, walks_per_vertex):
+    from landscape_spark.graph.walks import (
+        H_ADD, H_MOD, H_STEP, H_V, H_WALK, WALK_SHIFT,
+    )
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    rows = []
+    for start in range(n):
+        for wk in range(walks_per_vertex):
+            v = start
+            rows.append((start, wk, 0, v))
+            key = start * WALK_SHIFT + wk
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(v)
+                if not nbrs:
+                    break
+                h = ((v % H_MOD) * H_V + (t - 1) * H_STEP
+                     + (key % H_MOD) * H_WALK + H_ADD) % H_MOD
+                v = nbrs[h % len(nbrs)]
+                rows.append((start, wk, t, v))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed", [16, 17])
+def test_random_walks_match_python(spark, seed):
+    from landscape_spark.graph.walks import random_walks
+
+    n = 40
+    edges = _rand_digraph(seed, n, 100)  # leaves some dangling vertices
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(map(tuple, random_walks(e, _verts(spark, n), walk_len=5,
+                                         walks_per_vertex=2).collect()))
+    assert got == _walks_py(edges, n, 5, 2)
+
+
+def test_random_walks_truncate_at_dangling(spark):
+    from landscape_spark.graph.walks import random_walks
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = sorted(map(tuple, random_walks(e, _verts(spark, 3), walk_len=4,
+                                         walks_per_vertex=1).collect()))
+    # walk from 0: 0->1->2 stop; from 1: 1->2 stop; from 2: just itself
+    assert got == [(0, 0, 0, 0), (0, 0, 1, 1), (0, 0, 2, 2),
+                   (1, 0, 0, 1), (1, 0, 1, 2), (2, 0, 0, 2)]
+
+
+def test_random_walks_partition_invariant(spark):
+    """The hop law depends only on values, never on physical layout."""
+    from landscape_spark.graph.walks import random_walks
+
+    edges = _rand_digraph(18, 30, 90)
+    base = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, random_walks(base.repartition(2), _verts(spark, 30),
+                                       walk_len=4).collect()))
+    b = sorted(map(tuple, random_walks(base.repartition(13), _verts(spark, 30),
+                                       walk_len=4).collect()))
+    assert a == b
+
+
+def test_skipgram_pairs_match_python(spark):
+    from landscape_spark.graph.walks import random_walks, skipgram_pairs
+
+    edges = _rand_digraph(19, 25, 80)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    walks = _walks_py(edges, 25, 4, 2)
+    want = {}
+    by_walk = {}
+    for start, wk, step, v in walks:
+        by_walk.setdefault((start, wk), []).append((step, v))
+    for trail in by_walk.values():
+        trail.sort()
+        for i, (s1, c) in enumerate(trail):
+            for s2, x in trail[i + 1:]:
+                if s2 - s1 <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+    w = random_walks(e, _verts(spark, 25), walk_len=4, walks_per_vertex=2)
+    got = {(r.center, r.context): r.n_pairs
+           for r in skipgram_pairs(w, window=2).collect()}
+    assert got == want
+
+
+def test_ranked_adjacency_window_is_per_src(spark, sf_small):
+    """The adjacency ranking must partition its window by src — a global
+    (empty-partition-spec) window would funnel every edge through one
+    task."""
+    from landscape_spark import linkgraph
+    from landscape_spark.graph.walks import ranked_adjacency
+
+    e = linkgraph.directed_edges(spark, sf_small)
+    plan = ranked_adjacency(e)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(src" in plan, plan
