@@ -1770,6 +1770,20 @@ def q_pages_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("src", "dst")
 
 
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text index over the synthesized pages table
+    (pages.py::anchor_text_index): the classic web-search relevance
+    signal — anchor text describes the TARGET. Rows-only in the gate
+    (HTML extraction is not SQL-expressible); the vectorized extractor's
+    byte-identical parity vs the pure-pandas oracle and the index's
+    aggregation invariants are enforced in tests/test_pages.py."""
+    from landscape_spark import pages as P
+
+    n = linkgraph.num_vertices(spark, sf_dir)
+    pg = P.synthesize_pages(spark, n, seed=42)
+    return P.anchor_text_index(P.extract_anchors(pg))
+
+
 def q_k_spanning_forests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=2 edge-disjoint spanning forests of the derived link graph (the
     reference's k-edge-connectivity certificate, Q2,
@@ -1854,6 +1868,7 @@ EXTRA_QUERIES.update(
         "batched_reachability": q_batched_reachability,
         "rolling_fingerprint": q_rolling_fingerprint,  # rows-only: sequential fold
         "pages_extract_edges": q_pages_extract_edges,  # rows-only: HTML extraction
+        "anchor_text_index": q_anchor_text_index,  # rows-only: HTML extraction
         "media_image_features": q_media_image_features,  # rows-only: binary codec
         "media_audio_features": q_media_audio_features,  # rows-only: binary codec
         "k_spanning_forests": q_k_spanning_forests,  # rows-only: sketch-randomized

@@ -100,8 +100,16 @@ def _render_page(page_id: int, n_docs: int, seed: int) -> tuple:
             for w in range(12)
         ]
         paras.append(" ".join(wl))
+    # anchor text: first word consistent per TARGET (the "sites describe a
+    # page the same way" property that makes an anchor-text index useful),
+    # second word varies per link site — both from the deterministic law
     anchor_html = "".join(
-        f'<a href="{url_of(t)}">link {ai}</a> ' for ai, t in enumerate(links)
+        '<a href="{u}">{w1} {w2}</a> '.format(
+            u=url_of(t),
+            w1=WORDS[int(_hash_arr(np.array([t]), seed + 6)[0]) % len(WORDS)],
+            w2=WORDS[int(_hash_arr(np.array([t * 7 + ai]), seed + 7)[0]) % len(WORDS)],
+        )
+        for ai, t in enumerate(links)
     )
     html = (
         f"<html><head><title>{title}</title></head><body>"
@@ -117,6 +125,7 @@ def _render_page(page_id: int, n_docs: int, seed: int) -> tuple:
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 _HREF_RE = re.compile(r'<a\s+href="([^"]+)"')
+_ANCHOR_RE = re.compile(r'<a\s+href="([^"]+)"\s*>([^<]*)</a>')
 _PAGE_ID_RE = re.compile(r"/p/(\d+)$")
 
 
@@ -139,6 +148,77 @@ def extract_text_oracle(pages_pdf: pd.DataFrame) -> pd.DataFrame:
             "url": pages_pdf["url"],
             "text": [extract_text_from_html(b.decode("utf-8")) for b in pages_pdf["html"]],
         }
+    )
+
+
+def extract_anchors_oracle(pages_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas oracle: one row per link, (url, out_url, anchor) — the
+    anchor text is the raw inner text of the <a> element (the synthesis
+    never nests markup inside anchors). The distributed extractor must
+    reproduce it byte-for-byte per (url, link position)."""
+    rows = []
+    for url, blob in zip(pages_pdf["url"], pages_pdf["html"]):
+        for out_url, anchor in _ANCHOR_RE.findall(blob.decode("utf-8")):
+            rows.append((url, out_url, anchor))
+    return pd.DataFrame(rows, columns=["url", "out_url", "anchor"])
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """Distributed anchor extraction: (url, out_url, anchor) per link.
+    One Arrow pass, vectorized pandas .str.extractall over each batch —
+    zero per-row Python (same standard as extract_pages)."""
+
+    def ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            s = pdf["html"].str.decode("utf-8")
+            s.index = pdf["url"].to_numpy()
+            hits = s.str.extractall(_ANCHOR_RE)
+            if hits.empty:
+                continue
+            out = pd.DataFrame(
+                {
+                    "url": hits.index.get_level_values(0).to_numpy(),
+                    "out_url": hits[0].to_numpy(),
+                    "anchor": hits[1].to_numpy(),
+                }
+            )
+            yield out
+
+    return pages.select("url", "html").mapInPandas(
+        ex, "url string, out_url string, anchor string"
+    )
+
+
+def anchor_text_index(anchors: DataFrame) -> DataFrame:
+    """Per-TARGET anchor-text index over (url, out_url, anchor) rows:
+    (out_url, n_anchors, n_unique_anchors, top_anchor, top_count) with
+    top_anchor the most frequent anchor text pointing at the target
+    (count desc, text asc tie-break — deterministic). The classic
+    web-search relevance signal (anchor text describes the TARGET better
+    than the target's own words — Brin & Page '98 §2.2).
+
+    Plan: one (out_url, anchor) count aggregate, a per-target window for
+    the argmax (partitioned by out_url — never global), one final
+    aggregate. All shuffles key on the target url."""
+    from pyspark.sql import Window
+
+    per_text = anchors.groupBy("out_url", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("out_url").orderBy(
+        F.desc("cnt"), F.asc("anchor")
+    )
+    ranked = per_text.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("out_url")
+        .agg(
+            F.sum("cnt").alias("n_anchors"),
+            F.count(F.lit(1)).alias("n_unique_anchors"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_count"),
+        )
     )
 
 

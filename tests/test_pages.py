@@ -67,3 +67,60 @@ def test_pages_schema(spark):
     )
     langs = {r.lang for r in pg.select("lang").distinct().collect()}
     assert langs <= {"en", "de", "fr", "es"}
+
+
+def test_anchor_extraction_byte_identical_oracle_vs_pipeline(spark):
+    """The vectorized extractall anchor extractor reproduces the
+    pure-pandas regex oracle byte-for-byte, row-multiset-equal (same
+    standard as the text invariant)."""
+    pg = P.synthesize_pages(spark, 150, seed=42).cache()
+    dist = sorted(
+        (r.url, r.out_url, r.anchor) for r in P.extract_anchors(pg).collect()
+    )
+    pdf = pg.select("url", "html").toPandas()
+    ora = P.extract_anchors_oracle(pdf)
+    want = sorted(zip(ora["url"], ora["out_url"], ora["anchor"]))
+    assert dist == want
+    assert len(dist) > 0
+    for _, _, anchor in dist:
+        assert anchor  # synthesis never emits empty anchor text
+
+
+def test_anchor_text_index_invariants(spark):
+    """Aggregation invariants: n_anchors sums to the raw link count per
+    target, top_anchor is the (count desc, text asc) argmax, and the index
+    is partition-invariant."""
+    pg = P.synthesize_pages(spark, 120, seed=42).cache()
+    anchors = P.extract_anchors(pg).cache()
+    idx = {r.out_url: r for r in P.anchor_text_index(anchors).collect()}
+    # python oracle
+    rows = [(r.out_url, r.anchor) for r in anchors.collect()]
+    per_target: dict = {}
+    for t, a in rows:
+        per_target.setdefault(t, {})
+        per_target[t][a] = per_target[t].get(a, 0) + 1
+    assert set(idx) == set(per_target)
+    for t, counts in per_target.items():
+        r = idx[t]
+        assert r.n_anchors == sum(counts.values())
+        assert r.n_unique_anchors == len(counts)
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r.top_anchor, r.top_count) == best
+    # partition invariance
+    again = {
+        r.out_url: (r.n_anchors, r.top_anchor)
+        for r in P.anchor_text_index(anchors.repartition(17)).collect()
+    }
+    assert again == {t: (r.n_anchors, r.top_anchor) for t, r in idx.items()}
+
+
+def test_anchor_first_word_consistent_per_target(spark):
+    """The synthesis law makes the FIRST anchor word a pure function of the
+    target — the 'sites describe a page consistently' property the index
+    surfaces; top_anchor must start with that word."""
+    pg = P.synthesize_pages(spark, 120, seed=42)
+    anchors = P.extract_anchors(pg).collect()
+    first_word: dict = {}
+    for r in anchors:
+        w = r.anchor.split(" ")[0]
+        assert first_word.setdefault(r.out_url, w) == w
