@@ -235,6 +235,34 @@ def main() -> None:
         lambda: degree_assortativity(e_und).count(), 2
     )
 
+    from landscape_spark.graph.katz import katz_centrality
+
+    queries["katz_10iter"] = best_of(
+        lambda: katz_centrality(e_dir, verts, iters=10).count(), 2
+    )
+
+    from landscape_spark.graph.linkpred import jaccard_topk
+    from landscape_spark.graph.motifs import rectangle_count
+
+    queries["rectangle_count"] = best_of(
+        lambda: rectangle_count(e_und).count(), 2
+    )
+    queries["jaccard_top20"] = best_of(
+        lambda: jaccard_topk(e_und, k=20).count(), 2
+    )
+
+    from landscape_spark.graph.truss import edge_support, k_truss
+
+    queries["edge_support"] = best_of(lambda: edge_support(e_und).count(), 2)
+    queries["ktruss_k4"] = best_of(lambda: k_truss(e_und, 4).count(), 2)
+
+    from landscape_spark.graph.walks import random_walks
+
+    queries["random_walks"] = best_of(
+        lambda: random_walks(e_dir, verts, walk_len=6, walks_per_vertex=2).count(),
+        2,
+    )
+
     tri_box = [0]
     queries["triangle_count"] = best_of(
         lambda: tri_box.__setitem__(0, triangle_count(e_und).first()[0]), 2

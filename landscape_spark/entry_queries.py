@@ -35,6 +35,11 @@ KTRUSS_ORACLE_ROUNDS = 12  # measured fixpoint at sf0.01 is 8; margin 4
 WALK_LEN = 6
 WALKS_PER_VERTEX = 2
 SKIPGRAM_WINDOW = 2
+SSSP_ORACLE_HOPS = 24  # >= 5 * hub BFS eccentricity (4): a weighted
+# shortest path under the 1..5 weight law never needs more hops (a path
+# longer than 5*h_bfs hops costs > the 5*h_bfs bound of the BFS path);
+# the bound-is-noop property is pinned in tests
+SEEDED_LPA_CLASSES = 4
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +396,35 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(und, k=KTRUSS_K)
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from the hub seeds (graph/traversal.py
+    frontier Bellman–Ford) under the deterministic 1..5 link-cost law —
+    exact int64 distances, the crawl-cost generalization of
+    bfs_distances. Oracle: bounded recursive walk + MIN(d)."""
+    from landscape_spark.graph.traversal import sssp_weighted
+
+    e = linkgraph.weighted_directed_edges(spark, sf_dir)
+    return sssp_weighted(e, seeds=PPR_SEEDS, weight_col="w").select("v", "dist")
+
+
+def q_seeded_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading from the hub seeds (4 topic
+    classes, label = hub mod 4) — the TrustRank-shaped 'propagate labels
+    from hand-labeled pages' primitive (graph/lpa.py
+    seeded_label_propagation; seeds clamped, majority vote over LABELED
+    neighbors only, NULL until reached)."""
+    from landscape_spark.graph.lpa import seeded_label_propagation
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    seeds = verts.where(F.col("v") < len(PPR_SEEDS)).select(
+        "v", (F.col("v") % SEEDED_LPA_CLASSES).alias("label")
+    )
+    return seeded_label_propagation(und, verts, seeds, iters=LPA_ITERS).select(
+        "v", "label"
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style random walks (graph/walks.py): 2 walks
     of 6 hops from every vertex under the public LCG hop law — the
@@ -470,6 +504,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ktruss": q_ktruss,
     "random_walks": q_random_walks,
     "skipgram_pairs": q_skipgram_pairs,
+    "sssp_weighted": q_sssp_weighted,
+    "seeded_lpa": q_seeded_lpa,
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
     "host_graph": q_host_graph,
     "host_pagerank": q_host_pagerank,
@@ -1223,6 +1259,66 @@ JOIN wk_all b ON b.start_v = a.start_v AND b.walk = a.walk
 GROUP BY a.v, b.v"""
 
 
+def _sssp_sql(max_hops: int = SSSP_ORACLE_HOPS) -> str:
+    """Weighted-SSSP oracle: bounded recursive walk accumulating the
+    deterministic 1..5 edge-cost law, then MIN(d) per vertex (the
+    weighted generalization of _bfs_sql; see SSSP_ORACLE_HOPS for why the
+    hop bound is sufficient)."""
+    seeds = ", ".join(f"({s})" for s in PPR_SEEDS)
+    w = linkgraph.WEIGHT_SQL
+    return f"""
+WITH RECURSIVE {linkgraph.EDGES_CTE.strip().rstrip(',')},
+swe AS MATERIALIZED (SELECT src, dst, {w} AS w FROM lg_edges),
+walk(v, d, hops) AS (
+  SELECT CAST(s.v AS BIGINT), CAST(0 AS BIGINT), 0 FROM (VALUES {seeds}) s(v)
+  UNION
+  SELECT e.dst, w.d + e.w, w.hops + 1
+  FROM walk w JOIN swe e ON e.src = w.v
+  WHERE w.hops < {max_hops}
+)
+SELECT v, MIN(d) AS dist FROM walk GROUP BY v
+"""
+
+
+def _seeded_lpa_sql(iters: int = LPA_ITERS) -> str:
+    """Seeded-LPA oracle: the graph/lpa.py seeded_label_propagation
+    semantics unrolled — seeds clamped, majority over labeled neighbors,
+    NULL until reached."""
+    n_seeds = len(PPR_SEEDS)
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        _sym_cte().replace("lg_sym AS (", "lg_sym AS MATERIALIZED (", 1),
+        (
+            f"sl_seeds AS MATERIALIZED (SELECT v, v % {SEEDED_LPA_CLASSES} "
+            f"AS seed_label FROM lg_vertices WHERE v < {n_seeds})"
+        ),
+        (
+            "sl0 AS MATERIALIZED (SELECT lv.v AS v, s.seed_label AS label "
+            "FROM lg_vertices lv LEFT JOIN sl_seeds s ON s.v = lv.v)"
+        ),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"sl{t - 1}"
+        parts.append(
+            f"""sl{t} AS MATERIALIZED (
+  SELECT cur.v AS v, COALESCE(sd.seed_label, b.new_label, cur.label) AS label
+  FROM {prev} cur
+  LEFT JOIN (
+    SELECT v, label AS new_label FROM (
+      SELECT s.v AS v, l.label AS label, COUNT(*) AS cnt
+      FROM lg_sym s JOIN {prev} l ON l.v = s.w
+      WHERE l.label IS NOT NULL
+      GROUP BY s.v, l.label
+    ) t
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) = 1
+  ) b ON b.v = cur.v
+  LEFT JOIN sl_seeds sd ON sd.v = cur.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, label FROM sl{iters}"
+
+
 def _bfs_sql(max_depth: int = 12) -> str:
     """Multi-source BFS oracle: bounded recursive walk, then MIN(d) per
     vertex. The depth bound only truncates exploration past max_depth;
@@ -1569,6 +1665,8 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "ktruss": _ktruss_sql(),
     "random_walks": _walks_sql(),
     "skipgram_pairs": _skipgram_sql(),
+    "sssp_weighted": _sssp_sql(),
+    "seeded_lpa": _seeded_lpa_sql(),
     "rectangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 {_sym_cte()},

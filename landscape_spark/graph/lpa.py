@@ -75,6 +75,62 @@ def label_propagation(
     return labels
 
 
+def seeded_label_propagation(
+    und_edges: DataFrame,
+    vertices: DataFrame,
+    seed_labels: DataFrame,
+    iters: int = 5,
+) -> DataFrame:
+    """Semi-supervised label spreading from a labeled seed set — the
+    TrustRank-shaped "propagate topic/trust labels from hand-labeled seed
+    pages" primitive (Gyöngyi et al. VLDB'04 motivation, majority-vote
+    propagation instead of rank mass).
+
+    ``seed_labels``: (v, label) for the seed pages. Semantics per
+    synchronous round: seeds are CLAMPED to their seed label forever;
+    every other vertex adopts the majority label among its LABELED
+    neighbors (count desc, label asc tie-break — deterministic), keeps
+    its previous label if no neighbor is labeled yet, and stays NULL
+    until the wave reaches it. Returns (v, label) with label NULL for
+    vertices no seed can reach. Same per-round plan shape as
+    label_propagation (one count shuffle + a per-vertex window)."""
+    seeds = seed_labels.select(
+        "v", F.col("label").alias("seed_label")
+    ).localCheckpoint(eager=True)
+    sym = symmetrize(und_edges)
+    labels = (
+        vertices.join(seeds, on="v", how="left")
+        .select("v", F.col("seed_label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        nbr_labels = (
+            sym.join(labels, sym.w == labels.v)
+            .where(F.col("label").isNotNull())
+            .select(sym.v.alias("v"), "label")
+        )
+        best = (
+            nbr_labels.groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("v", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, on="v", how="left")
+            .join(seeds, on="v", how="left")
+            .select(
+                "v",
+                F.coalesce(
+                    "seed_label", "new_label", "label"
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def resume_label_propagation(
     und_edges: DataFrame,
     vertices: DataFrame,

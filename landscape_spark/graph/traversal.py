@@ -1,4 +1,5 @@
-"""Multi-source BFS hop distances — crawl-depth from a seed set.
+"""Multi-source BFS hop distances and weighted shortest paths — crawl
+cost from a seed set.
 
 Link-graph analysis operator in the same class as PageRank/HITS (the
 reference engine is connectivity-only; this belongs to the webtext /
@@ -66,4 +67,62 @@ def bfs_distances(
             break
         dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("v")
+    return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    weight_col: str = "w",
+    max_iter: int = 256,
+) -> DataFrame:
+    """(v, dist) — minimum total edge weight from any seed along DIRECTED
+    weighted edges (src, dst, ``weight_col``); weights must be positive
+    integers (crawl cost / link-multiplicity distance), so distances are
+    EXACT int64 arithmetic — no float summation anywhere. Only reached
+    vertices appear.
+
+    Frontier Bellman–Ford: round t relaxes out-edges of ONLY the vertices
+    whose distance improved in round t-1 (the delta-stepping intuition
+    without the bucket machinery — an edge re-fires only when its source
+    improves, which positive weights bound by the distinct-distance count,
+    in practice a few rounds past the hop eccentricity). Per round: one
+    frontier-sized join + a min-aggregate + one join against the distance
+    table; lineage cut per round. Terminates exactly when no distance
+    improves (empty frontier)."""
+    spark = edges.sparkSession
+    ew = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("_w")
+    )
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in dict.fromkeys(seeds)], "v long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            ew.join(
+                frontier.select(
+                    F.col("v").alias("src"), F.col("dist").alias("_d")
+                ),
+                on="src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("_d") + F.col("_w")).alias("cand"))
+        )
+        joined = cand.join(dist, on="v", how="left")
+        improved = (
+            joined.where(
+                F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+            )
+            .select("v", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("v"), on="v", how="left_anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
     return dist

@@ -420,3 +420,123 @@ def test_ranked_adjacency_window_is_per_src(spark, sf_small):
     e = linkgraph.directed_edges(spark, sf_small)
     plan = ranked_adjacency(e)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(src" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP
+# ---------------------------------------------------------------------------
+
+def _dijkstra_py(wedges, seeds):
+    import heapq
+
+    adj = {}
+    for s, d, w in wedges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {}
+    pq = [(0, s) for s in seeds]
+    while pq:
+        dv, v = heapq.heappop(pq)
+        if v in dist:
+            continue
+        dist[v] = dv
+        for nxt, w in adj.get(v, ()):
+            if nxt not in dist:
+                heapq.heappush(pq, (dv + w, nxt))
+    return dist
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_sssp_weighted_matches_dijkstra(spark, seed):
+    from landscape_spark.graph.traversal import sssp_weighted
+
+    rng = random.Random(seed)
+    wedges = sorted({(a, b) for a, b in ((rng.randrange(50), rng.randrange(50))
+                                         for _ in range(160)) if a != b})
+    wedges = [(a, b, rng.randrange(1, 6)) for a, b in wedges]
+    e = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {r.v: r.dist for r in sssp_weighted(e, seeds=[0, 1]).collect()}
+    assert got == _dijkstra_py(wedges, [0, 1])
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    from landscape_spark.graph.traversal import sssp_weighted
+
+    # direct edge costs 5; the 3-hop detour costs 3
+    e = spark.createDataFrame(
+        [(0, 3, 5), (0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r.v: r.dist for r in sssp_weighted(e, seeds=[0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_oracle_hop_bound_is_noop(spark, sf_mid):
+    """Raising the oracle's recursion bound past SSSP_ORACLE_HOPS must not
+    change any distance (the bound only truncates non-optimal tails)."""
+    import duckdb
+
+    from landscape_spark.entry_queries import _sssp_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE documents AS SELECT * FROM '{sf_mid}/documents.parquet'"
+    )
+    a = sorted(con.execute(_sssp_sql()).fetchall())
+    b = sorted(con.execute(_sssp_sql(max_hops=32)).fetchall())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Seeded label propagation
+# ---------------------------------------------------------------------------
+
+def _seeded_lpa_py(edges, n, seeds, iters):
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = [seeds.get(v) for v in range(n)]
+    for _ in range(iters):
+        new = labels[:]
+        for v in range(n):
+            if v in seeds:
+                new[v] = seeds[v]
+                continue
+            counts: dict = {}
+            for w in adj[v]:
+                if labels[w] is not None:
+                    counts[labels[w]] = counts.get(labels[w], 0) + 1
+            if counts:
+                new[v] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("seed", [22, 23])
+def test_seeded_lpa_matches_python(spark, seed):
+    from landscape_spark.graph.lpa import seeded_label_propagation
+
+    n = 40
+    edges = _rand_undirected(seed, n, 70)  # sparse: some vertices unreached
+    seeds = {0: 10, 1: 11, 2: 10}
+    e = spark.createDataFrame(edges, "a long, b long")
+    sl = spark.createDataFrame(sorted(seeds.items()), "v long, label long")
+    got = {r.v: r.label
+           for r in seeded_label_propagation(e, _verts(spark, n), sl,
+                                             iters=4).collect()}
+    want = _seeded_lpa_py(edges, n, seeds, 4)
+    assert got == {v: want[v] for v in range(n)}
+    assert any(x is None for x in got.values())  # some vertex stayed unreached
+
+
+def test_seeded_lpa_seeds_are_clamped(spark):
+    from landscape_spark.graph.lpa import seeded_label_propagation
+
+    # seed 0 surrounded by a clique labeled differently must keep its label
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    seeds = {0: 99, 1: 5, 2: 5, 3: 5}
+    e = spark.createDataFrame(edges, "a long, b long")
+    sl = spark.createDataFrame(sorted(seeds.items()), "v long, label long")
+    got = {r.v: r.label
+           for r in seeded_label_propagation(e, _verts(spark, 4), sl,
+                                             iters=3).collect()}
+    assert got == seeds
