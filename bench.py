@@ -251,6 +251,12 @@ def main() -> None:
         lambda: jaccard_topk(e_und, k=20).count(), 2
     )
 
+    from landscape_spark.graph.linkpred import jaccard_lsh_topk
+
+    queries["jaccard_lsh_top20"] = best_of(
+        lambda: jaccard_lsh_topk(e_und, k=20).count(), 2
+    )
+
     from landscape_spark.graph.truss import edge_support, k_truss
 
     queries["edge_support"] = best_of(lambda: edge_support(e_und).count(), 2)

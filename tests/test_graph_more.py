@@ -540,3 +540,63 @@ def test_seeded_lpa_seeds_are_clamped(spark):
            for r in seeded_label_propagation(e, _verts(spark, 4), sl,
                                              iters=3).collect()}
     assert got == seeds
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood-MinHash LSH link prediction (scale path)
+# ---------------------------------------------------------------------------
+
+def test_jaccard_lsh_identical_neighborhoods_always_found(spark):
+    """Two vertices with IDENTICAL neighbor sets have identical MinHash
+    signatures, hence collide in EVERY band — found regardless of hash
+    seeds, with the exact score."""
+    from landscape_spark.graph.linkpred import jaccard_lsh_topk
+
+    # 8 and 9 both adjacent to exactly {0,1,2,3}; each of 0..3 gets one
+    # extra distinct neighbor so no other pair reaches jaccard 1.0
+    edges = [(0, 8), (1, 8), (2, 8), (3, 8),
+             (0, 9), (1, 9), (2, 9), (3, 9),
+             (0, 4), (1, 5), (2, 6), (3, 7),
+             (4, 5), (6, 7)]
+    e = spark.createDataFrame(sorted((min(a, b), max(a, b)) for a, b in edges),
+                              "a long, b long")
+    top = [tuple(r) for r in jaccard_lsh_topk(e, k=5).collect()]
+    assert top[0] == (8, 9, 4, 1.0)
+
+
+def test_jaccard_lsh_scores_equal_exact_path(spark):
+    """Every pair the LSH path returns carries the exact path's score —
+    only recall may differ, never values (the subset-of-exact claim)."""
+    from landscape_spark.graph.linkpred import jaccard_lsh_topk
+
+    edges = _rand_undirected(24, 40, 140)
+    e = spark.createDataFrame(edges, "a long, b long")
+    exact = {(a, b): (c, s) for a, b, c, s in _jaccard_py(edges, 10**6)}
+    for a, b, c, s in (tuple(r) for r in jaccard_lsh_topk(e, k=15).collect()):
+        assert exact[(a, b)] == (c, s)
+
+
+def test_jaccard_lsh_recall_at_gate_scale(spark, sf_small):
+    """Deterministic recall vs the exact top-20 (xxhash64 is seed-fixed, so
+    this number cannot flake) — the default 16x2 banding keeps the
+    high-similarity head."""
+    from landscape_spark import linkgraph
+    from landscape_spark.graph.linkpred import jaccard_lsh_topk, jaccard_topk
+
+    und = linkgraph.undirected_edges(spark, sf_small).localCheckpoint(eager=True)
+    exact = {(r.a, r.b) for r in jaccard_topk(und, k=20).collect()}
+    lsh = {(r.a, r.b) for r in jaccard_lsh_topk(und, k=20).collect()}
+    assert len(exact & lsh) / len(exact) >= 0.6
+
+
+def test_jaccard_lsh_no_cartesian_one_signature_scan(spark, sf_small):
+    """Plan pins: hash joins only, and the banding projection must not
+    re-derive the signature aggregate once per band (one-scan discipline —
+    the signature frame is checkpointed before explosion)."""
+    from landscape_spark import linkgraph
+    from landscape_spark.graph.linkpred import jaccard_lsh_topk
+
+    und = linkgraph.undirected_edges(spark, sf_small)
+    plan = jaccard_lsh_topk(und, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
