@@ -185,6 +185,12 @@ def main() -> None:
         lambda: hits(e_dir, verts, n, iters=10).count(), 2
     )
 
+    from landscape_spark.graph.salsa import salsa
+
+    queries["salsa_10iter"] = best_of(
+        lambda: salsa(e_dir, verts, iters=10).count(), 1
+    )
+
     from landscape_spark.graph.kcore import coreness
     from landscape_spark.graph.linkpred import adamic_adar_topk
     from landscape_spark.graph.scc import strongly_connected_components

@@ -396,6 +396,22 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(und, k=KTRUSS_K)
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs & authorities (graph/salsa.py): the Lempel–Moran
+    stochastic walk behind who-to-follow systems — mass-conserving
+    two-hop walks, no normalization step. Oracle: unrolled CTE chain."""
+    from landscape_spark.graph.salsa import salsa
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    s = salsa(e, verts, iters=HITS_ITERS)
+    return s.select(
+        "v",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def q_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100TB path for jaccard_topk (graph/linkpred.py
     jaccard_lsh_topk): neighborhood-MinHash signatures (one shuffle) ->
@@ -519,6 +535,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skipgram_pairs": q_skipgram_pairs,
     "sssp_weighted": q_sssp_weighted,
     "seeded_lpa": q_seeded_lpa,
+    "salsa": q_salsa,
     "linkpred_lsh_topk": q_linkpred_lsh,  # rows-only: xxhash64 LSH candidates
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
     "host_graph": q_host_graph,
@@ -1273,6 +1290,64 @@ JOIN wk_all b ON b.start_v = a.start_v AND b.walk = a.walk
 GROUP BY a.v, b.v"""
 
 
+def _salsa_sql(iters: int = HITS_ITERS) -> str:
+    """SALSA oracle: both mass-conserving walks unrolled (graph/salsa.py
+    fixes the semantics — uniform init over the walkable side, two-hop
+    stochastic redistribution, no normalization)."""
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        """sal_e AS MATERIALIZED (
+  SELECT e.src, e.dst, i.indeg, o.outdeg
+  FROM lg_edges e
+  JOIN (SELECT dst, COUNT(*) AS indeg FROM lg_edges GROUP BY dst) i ON i.dst = e.dst
+  JOIN (SELECT src, COUNT(*) AS outdeg FROM lg_edges GROUP BY src) o ON o.src = e.src
+)""",
+        (
+            "sa0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) / "
+            "(SELECT COUNT(DISTINCT dst) FROM lg_edges) AS s "
+            "FROM (SELECT DISTINCT dst AS v FROM lg_edges))"
+        ),
+        (
+            "sh0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) / "
+            "(SELECT COUNT(DISTINCT src) FROM lg_edges) AS s "
+            "FROM (SELECT DISTINCT src AS v FROM lg_edges))"
+        ),
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""sab{t} AS MATERIALIZED (
+  SELECT e.src AS u, SUM(a.s / e.indeg) AS b
+  FROM sal_e e JOIN sa{t - 1} a ON a.v = e.dst GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"""sa{t} AS MATERIALIZED (
+  SELECT e.dst AS v, SUM(b.b / e.outdeg) AS s
+  FROM sal_e e JOIN sab{t} b ON b.u = e.src GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""shc{t} AS MATERIALIZED (
+  SELECT e.dst AS u, SUM(h.s / e.outdeg) AS c
+  FROM sal_e e JOIN sh{t - 1} h ON h.v = e.src GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""sh{t} AS MATERIALIZED (
+  SELECT e.src AS v, SUM(c.c / e.indeg) AS s
+  FROM sal_e e JOIN shc{t} c ON c.u = e.dst GROUP BY e.src
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT lv.v AS v,
+       ROUND(COALESCE(a.s, 0), 6) AS authority,
+       ROUND(COALESCE(h.s, 0), 6) AS hub
+FROM lg_vertices lv
+LEFT JOIN sa{iters} a ON a.v = lv.v
+LEFT JOIN sh{iters} h ON h.v = lv.v"""
+
+
 def _sssp_sql(max_hops: int = SSSP_ORACLE_HOPS) -> str:
     """Weighted-SSSP oracle: bounded recursive walk accumulating the
     deterministic 1..5 edge-cost law, then MIN(d) per vertex (the
@@ -1681,6 +1756,7 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "skipgram_pairs": _skipgram_sql(),
     "sssp_weighted": _sssp_sql(),
     "seeded_lpa": _seeded_lpa_sql(),
+    "salsa": _salsa_sql(),
     "rectangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 {_sym_cte()},

@@ -600,3 +600,64 @@ def test_jaccard_lsh_no_cartesian_one_signature_scan(spark, sf_small):
     plan = jaccard_lsh_topk(und, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# SALSA
+# ---------------------------------------------------------------------------
+
+def _salsa_np(edges, n, iters):
+    indeg = {}
+    outdeg = {}
+    for s, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+        outdeg[s] = outdeg.get(s, 0) + 1
+    auths = sorted(indeg)
+    hubs = sorted(outdeg)
+    a = {v: 1.0 / len(auths) for v in auths}
+    for _ in range(iters):
+        b = {}
+        for s, d in edges:
+            b[s] = b.get(s, 0.0) + a[d] / indeg[d]
+        a2 = {}
+        for s, d in edges:
+            a2[d] = a2.get(d, 0.0) + b[s] / outdeg[s]
+        a = a2
+    h = {v: 1.0 / len(hubs) for v in hubs}
+    for _ in range(iters):
+        c = {}
+        for s, d in edges:
+            c[d] = c.get(d, 0.0) + h[s] / outdeg[s]
+        h2 = {}
+        for s, d in edges:
+            h2[s] = h2.get(s, 0.0) + c[d] / indeg[d]
+        h = h2
+    return ([a.get(v, 0.0) for v in range(n)],
+            [h.get(v, 0.0) for v in range(n)])
+
+
+@pytest.mark.parametrize("seed", [25, 26])
+def test_salsa_matches_python(spark, seed):
+    from landscape_spark.graph.salsa import salsa
+
+    n = 40
+    edges = _rand_digraph(seed, n, 140)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: (r.authority, r.hub)
+           for r in salsa(e, _verts(spark, n), iters=6).collect()}
+    wa, wh = _salsa_np(edges, n, 6)
+    for v in range(n):
+        assert got[v][0] == pytest.approx(wa[v], abs=1e-12)
+        assert got[v][1] == pytest.approx(wh[v], abs=1e-12)
+
+
+def test_salsa_mass_conserved_and_stationary_on_cycle(spark):
+    from landscape_spark.graph.salsa import salsa
+
+    # directed 4-cycle: every vertex indeg=outdeg=1 — the walk is already
+    # stationary; authority = hub = 1/4 exactly at EVERY iteration
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                              "src long, dst long")
+    got = {r.v: (r.authority, r.hub)
+           for r in salsa(e, _verts(spark, 4), iters=3).collect()}
+    assert got == {v: (0.25, 0.25) for v in range(4)}
