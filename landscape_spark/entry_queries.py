@@ -396,6 +396,34 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(und, k=KTRUSS_K)
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation top-20 (graph/linkpred.py): pairs most often linked-to
+    by the same page (Small 1973) — the related-page signal. Uncapped at
+    gate scale; max_center_degree is the 100TB knob."""
+    from landscape_spark.graph.linkpred import cocitation_topk
+
+    return cocitation_topk(linkgraph.directed_edges(spark, sf_dir), k=JACCARD_K)
+
+
+def q_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic-coupling top-20 (graph/linkpred.py): pairs that link
+    to the most shared targets (Kessler 1963) — co-citation's dual."""
+    from landscape_spark.graph.linkpred import coupling_topk
+
+    return coupling_topk(linkgraph.directed_edges(spark, sf_dir), k=JACCARD_K)
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (text/tfidf.py ngram_counts) — the
+    n-gram count-table primitive behind contamination screens and
+    boilerplate detection."""
+    from landscape_spark.text.tfidf import ngram_counts
+
+    return ngram_counts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=2, k=JACCARD_K
+    )
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA hubs & authorities (graph/salsa.py): the Lempel–Moran
     stochastic walk behind who-to-follow systems — mass-conserving
@@ -536,6 +564,8 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_weighted": q_sssp_weighted,
     "seeded_lpa": q_seeded_lpa,
     "salsa": q_salsa,
+    "cocitation_topk": q_cocitation,
+    "coupling_topk": q_coupling,
     "linkpred_lsh_topk": q_linkpred_lsh,  # rows-only: xxhash64 LSH candidates
     "anf_neighborhood": q_anf,  # rows-only: HLL-sketch estimates (hash-seeded)
     "host_graph": q_host_graph,
@@ -884,6 +914,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "tfidf_topk": q_tfidf_topk,
     "term_postings": q_term_postings,
+    "ngram_counts": q_ngram_counts,
     "quality_score": q_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
@@ -1757,6 +1788,32 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "sssp_weighted": _sssp_sql(),
     "seeded_lpa": _seeded_lpa_sql(),
     "salsa": _salsa_sql(),
+    "cocitation_topk": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+cc_pairs AS (
+  SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS shared_cnt
+  FROM lg_edges e1 JOIN lg_edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst
+)
+SELECT a, b, shared_cnt FROM (
+  SELECT a, b, shared_cnt,
+         ROW_NUMBER() OVER (ORDER BY shared_cnt DESC, a ASC, b ASC) AS rn
+  FROM cc_pairs
+) WHERE rn <= {JACCARD_K}
+""",
+    "coupling_topk": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+bc_pairs AS (
+  SELECT e1.src AS a, e2.src AS b, COUNT(*) AS shared_cnt
+  FROM lg_edges e1 JOIN lg_edges e2 ON e2.dst = e1.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src
+)
+SELECT a, b, shared_cnt FROM (
+  SELECT a, b, shared_cnt,
+         ROW_NUMBER() OVER (ORDER BY shared_cnt DESC, a ASC, b ASC) AS rn
+  FROM bc_pairs
+) WHERE rn <= {JACCARD_K}
+""",
     "rectangle_count": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 {_sym_cte()},
@@ -1859,6 +1916,7 @@ SELECT vec_id, sim FROM (
         "token_stats": analysis.TOKEN_STATS_SQL,
         "tfidf_topk": tfidf.tfidf_topk_sql(k=TFIDF_K),
         "term_postings": tfidf.term_postings_sql(),
+        "ngram_counts": tfidf.ngram_counts_sql(n=2, k=JACCARD_K),
         "quality_score": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,
         "doc_fingerprint": analysis.FINGERPRINT_SQL,

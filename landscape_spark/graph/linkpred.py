@@ -224,3 +224,61 @@ def jaccard_lsh_topk(
         .limit(int(k))
         .select("a", "b", "common_cnt", "jaccard")
     )
+
+
+def _directed_wedge_topk(
+    centers: DataFrame, k: int, max_center_degree: int | None
+) -> DataFrame:
+    """Shared-endpoint counts through directed wedges: ``centers`` is
+    (c, x) meaning center c touches endpoint x; returns top-k endpoint
+    pairs (a, b, shared_cnt) by the number of distinct shared centers."""
+    if max_center_degree is not None:
+        deg = centers.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+        centers = centers.join(
+            deg.where(F.col("deg") <= F.lit(int(max_center_degree))).select("c"),
+            on="c",
+            how="left_semi",
+        )
+    left = centers.select("c", F.col("x").alias("a"))
+    right = centers.select("c", F.col("x").alias("b"))
+    pairs = (
+        left.join(right, on="c")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_cnt"))
+    )
+    return (
+        pairs.orderBy(F.desc("shared_cnt"), F.asc("a"), F.asc("b"))
+        .limit(int(k))
+        .select("a", "b", "shared_cnt")
+    )
+
+
+def cocitation_topk(
+    edges: DataFrame, k: int = 20, max_center_degree: int | None = None
+) -> DataFrame:
+    """Top-k page pairs by CO-CITATION count (Small 1973): the number of
+    pages linking to BOTH — shared in-neighbors through a directed wedge
+    (citing page = wedge center). THE related-page signal of the
+    HITS/SALSA era; on a web graph, co-cited pages are topically close.
+    ``max_center_degree`` caps the citing page's OUT-degree (a center
+    with out-degree D emits C(D,2) pairs — the 100TB hub knob)."""
+    return _directed_wedge_topk(
+        edges.select(F.col("src").alias("c"), F.col("dst").alias("x")),
+        k,
+        max_center_degree,
+    )
+
+
+def coupling_topk(
+    edges: DataFrame, k: int = 20, max_center_degree: int | None = None
+) -> DataFrame:
+    """Top-k page pairs by BIBLIOGRAPHIC COUPLING (Kessler 1963): the
+    number of pages BOTH link to — shared out-neighbors (cited page =
+    wedge center). The dual of co-citation; ``max_center_degree`` caps
+    the cited page's IN-degree (hub authorities emit C(D,2) pairs)."""
+    return _directed_wedge_topk(
+        edges.select(F.col("dst").alias("c"), F.col("src").alias("x")),
+        k,
+        max_center_degree,
+    )

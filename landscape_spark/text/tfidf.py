@@ -140,3 +140,54 @@ SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM tf GROUP BY term {having}
 """
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams (ngram, cnt) — the corpus-statistics
+    primitive behind contamination screens, boilerplate detection, and
+    n-gram LM count tables. Words = the engine-portable WS_RUN split (the
+    analysis.WS_CLASS law); ranking is (cnt desc, ngram asc), a total
+    deterministic order. One projection (per-doc n-gram arrays, no
+    shuffle) + one explode + one count aggregate + TakeOrderedAndProject."""
+    from landscape_spark.text.analysis import WS_RUN
+
+    n, k = int(n), int(k)
+    words = F.filter(F.split(F.col("text"), WS_RUN), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(F.col("words")) >= F.lit(n),
+        F.expr(
+            f"transform(sequence(0, size(words) - {n}),"
+            f" i -> concat_ws(' ', slice(words, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(words.alias("words"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def ngram_counts_sql(n: int = 2, k: int = 20) -> str:
+    from landscape_spark.text.analysis import WS_RUN
+
+    return rf"""
+WITH w AS (
+  SELECT list_filter(string_split_regex(text, '{WS_RUN}'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT UNNEST(CASE WHEN len(words) >= {n}
+                THEN [array_to_string(words[i:i+{n - 1}], ' ')
+                      FOR i IN range(1, len(words) - {n} + 2)]
+                ELSE [] END) AS ngram
+  FROM w
+)
+SELECT ngram, cnt FROM (
+  SELECT ngram, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, ngram ASC) AS rn
+  FROM g GROUP BY ngram
+) WHERE rn <= {k}
+"""

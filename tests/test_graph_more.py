@@ -661,3 +661,71 @@ def test_salsa_mass_conserved_and_stationary_on_cycle(spark):
     got = {r.v: (r.authority, r.hub)
            for r in salsa(e, _verts(spark, 4), iters=3).collect()}
     assert got == {v: (0.25, 0.25) for v in range(4)}
+
+
+# ---------------------------------------------------------------------------
+# Co-citation / bibliographic coupling
+# ---------------------------------------------------------------------------
+
+def _shared_py(pairs_src, k):
+    counts = {}
+    by_c = {}
+    for c, x in pairs_src:
+        by_c.setdefault(c, set()).add(x)
+    for xs in by_c.values():
+        for a, b in itertools.combinations(sorted(xs), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    rows = sorted(((a, b, c) for (a, b), c in counts.items()),
+                  key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("seed", [27, 28])
+def test_cocitation_and_coupling_match_python(spark, seed):
+    from landscape_spark.graph.linkpred import cocitation_topk, coupling_topk
+
+    edges = _rand_digraph(seed, 30, 120)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got_cc = [tuple(r) for r in cocitation_topk(e, k=10).collect()]
+    assert got_cc == _shared_py([(s, d) for s, d in edges], 10)
+    got_bc = [tuple(r) for r in coupling_topk(e, k=10).collect()]
+    assert got_bc == _shared_py([(d, s) for s, d in edges], 10)
+
+
+def test_coupling_is_cocitation_of_reversed_graph(spark):
+    from landscape_spark.graph.linkpred import cocitation_topk, coupling_topk
+
+    edges = _rand_digraph(29, 25, 90)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rev = spark.createDataFrame([(d, s) for s, d in edges], "src long, dst long")
+    a = sorted(map(tuple, coupling_topk(e, k=15).collect()))
+    b = sorted(map(tuple, cocitation_topk(rev, k=15).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram counts
+# ---------------------------------------------------------------------------
+
+def test_ngram_counts_match_python(spark):
+    from landscape_spark.text.tfidf import ngram_counts
+
+    docs = [
+        (0, "a b c a b"),
+        (1, "a b a b"),
+        (2, "x"),          # shorter than n: contributes nothing
+        (3, ""),
+        (4, "c a b c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (2, 3):
+        counts = {}
+        for _, t in docs:
+            ws = [w for w in t.split(" ") if w]
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
+        want = sorted(((g, c) for g, c in counts.items()),
+                      key=lambda r: (-r[1], r[0]))[:5]
+        got = [tuple(r) for r in ngram_counts(df, n=n, k=5).collect()]
+        assert got == want, (n, got, want)
