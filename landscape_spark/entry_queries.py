@@ -396,6 +396,25 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(und, k=KTRUSS_K)
 
 
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-correlation curve knn(k) (graph/stats.py) — mean neighbor
+    degree per degree class, the plot beside assortativity."""
+    from landscape_spark.graph.stats import avg_neighbor_degree
+
+    return avg_neighbor_degree(linkgraph.undirected_edges(spark, sf_dir))
+
+
+def q_term_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus term-frequency distribution
+    (text/tfidf.py term_zipf_alpha) — the text-side twin of
+    degree_powerlaw."""
+    from landscape_spark.text.tfidf import term_zipf_alpha
+
+    return term_zipf_alpha(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), fmin=POWERLAW_DMIN
+    )
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation top-20 (graph/linkpred.py): pairs most often linked-to
     by the same page (Small 1973) — the related-page signal. Uncapped at
@@ -564,6 +583,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_weighted": q_sssp_weighted,
     "seeded_lpa": q_seeded_lpa,
     "salsa": q_salsa,
+    "avg_neighbor_degree": q_avg_neighbor_degree,
     "cocitation_topk": q_cocitation,
     "coupling_topk": q_coupling,
     "linkpred_lsh_topk": q_linkpred_lsh,  # rows-only: xxhash64 LSH candidates
@@ -915,6 +935,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "term_postings": q_term_postings,
     "ngram_counts": q_ngram_counts,
+    "term_zipf": q_term_zipf,
     "quality_score": q_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
@@ -1788,6 +1809,19 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "sssp_weighted": _sssp_sql(),
     "seeded_lpa": _seeded_lpa_sql(),
     "salsa": _salsa_sql(),
+    "avg_neighbor_degree": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+{_sym_cte()},
+knn_deg AS (SELECT v, COUNT(*) AS deg FROM lg_sym GROUP BY v),
+knn_pv AS (
+  SELECT s.v AS v, AVG(d2.deg) AS nbr_avg
+  FROM lg_sym s JOIN knn_deg d2 ON d2.v = s.w
+  GROUP BY s.v
+)
+SELECT d.deg AS deg, COUNT(*) AS n_vertices, ROUND(AVG(p.nbr_avg), 6) AS knn
+FROM knn_pv p JOIN knn_deg d ON d.v = p.v
+GROUP BY d.deg
+""",
     "cocitation_topk": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 cc_pairs AS (
@@ -1917,6 +1951,7 @@ SELECT vec_id, sim FROM (
         "tfidf_topk": tfidf.tfidf_topk_sql(k=TFIDF_K),
         "term_postings": tfidf.term_postings_sql(),
         "ngram_counts": tfidf.ngram_counts_sql(n=2, k=JACCARD_K),
+        "term_zipf": tfidf.term_zipf_alpha_sql(fmin=POWERLAW_DMIN),
         "quality_score": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,
         "doc_fingerprint": analysis.FINGERPRINT_SQL,

@@ -181,3 +181,26 @@ def degree_powerlaw_alpha(edges: DataFrame, dmin: int = 3) -> DataFrame:
             ),
         ).alias("alpha"),
     )
+
+
+def avg_neighbor_degree(und_edges: DataFrame) -> DataFrame:
+    """(deg, n_vertices, knn): Pastor-Satorras degree-correlation curve —
+    for each degree class k, the mean over degree-k vertices of their
+    neighbors' mean degree. THE standard plot beside assortativity (web
+    graphs: decreasing knn(k) = disassortative hubs). Plan: one degree
+    aggregate, one edge-end decoration join, two nested means — three
+    shuffles, no iteration. knn rounded to 6 decimals."""
+    sym = symmetrize(und_edges)
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    per_v = (
+        sym.join(
+            deg.select(F.col("v").alias("w"), F.col("deg").alias("dw")), on="w"
+        )
+        .groupBy("v")
+        .agg(F.avg("dw").alias("nbr_avg"))
+        .join(deg, on="v")
+    )
+    return per_v.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.round(F.avg("nbr_avg"), 6).alias("knn"),
+    )

@@ -191,3 +191,44 @@ SELECT ngram, cnt FROM (
   FROM g GROUP BY ngram
 ) WHERE rn <= {k}
 """
+
+
+def term_zipf_alpha(docs: DataFrame, fmin: int = 3) -> DataFrame:
+    """One row (fmin, n_tail, alpha): CSN continuous-MLE Zipf exponent of
+    the corpus term-frequency distribution (alpha = 1 + n/Σ ln(f/(fmin-½))
+    over terms with collection frequency >= fmin) — the text-side twin of
+    graph/stats.py::degree_powerlaw_alpha; a healthy natural-language
+    corpus sits near alpha ≈ 2, and boilerplate/spam floods shift it.
+    One token explode + one term count + one global fold."""
+    fmin = int(fmin)
+    tf = _tokens(docs).groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    tail = tf.where(F.col("f") >= F.lit(fmin))
+    return tail.agg(
+        F.lit(fmin).alias("fmin"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("f") / F.lit(fmin - 0.5))),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+
+
+def term_zipf_alpha_sql(fmin: int = 3) -> str:
+    from landscape_spark.text.analysis import NONWS_RUN
+
+    return rf"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS f FROM (
+    SELECT UNNEST(regexp_extract_all(text, '{NONWS_RUN}')) AS term
+    FROM documents
+  ) GROUP BY term
+)
+SELECT {fmin} AS fmin, COUNT(*) AS n_tail,
+       CASE WHEN COUNT(*) > 0 THEN
+         ROUND(1.0 + COUNT(*) / SUM(LN(f / {fmin - 0.5})), 6)
+       END AS alpha
+FROM tf WHERE f >= {fmin}
+"""

@@ -729,3 +729,56 @@ def test_ngram_counts_match_python(spark):
                       key=lambda r: (-r[1], r[0]))[:5]
         got = [tuple(r) for r in ngram_counts(df, n=n, k=5).collect()]
         assert got == want, (n, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Degree correlation curve / Zipf exponent
+# ---------------------------------------------------------------------------
+
+def test_avg_neighbor_degree_matches_python(spark):
+    from landscape_spark.graph.stats import avg_neighbor_degree
+
+    edges = _rand_undirected(30, 30, 90)
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    per_v = {v: sum(len(nbrs[w]) for w in ws) / len(ws)
+             for v, ws in nbrs.items()}
+    want = {}
+    for v, ws in nbrs.items():
+        want.setdefault(len(ws), []).append(per_v[v])
+    want = {k: (len(vs), round(sum(vs) / len(vs), 6)) for k, vs in want.items()}
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r.deg: (r.n_vertices, r.knn)
+           for r in avg_neighbor_degree(e).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+
+
+def test_avg_neighbor_degree_star(spark):
+    from landscape_spark.graph.stats import avg_neighbor_degree
+
+    # star: center degree 4 sees leaves (deg 1); leaves see center (deg 4)
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3), (0, 4)], "a long, b long")
+    got = {r.deg: (r.n_vertices, r.knn) for r in avg_neighbor_degree(e).collect()}
+    assert got == {4: (1, 1.0), 1: (4, 4.0)}
+
+
+def test_term_zipf_alpha_matches_python(spark):
+    from landscape_spark.text.tfidf import term_zipf_alpha
+
+    docs = [(0, "a a a b b c"), (1, "a b c d"), (2, "a a d d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    counts = {}
+    for _, t in docs:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    fmin = 3
+    tail = [f for f in counts.values() if f >= fmin]
+    want = 1.0 + len(tail) / sum(math.log(f / (fmin - 0.5)) for f in tail)
+    row = term_zipf_alpha(df, fmin=fmin).first()
+    assert row.n_tail == len(tail)
+    assert row.alpha == pytest.approx(round(want, 6), abs=2e-6)
