@@ -98,6 +98,24 @@ def main() -> None:
         cc_alg_sec = min(cc_alg_sec, time.time() - t0)
     n_comp = comp_box[0]
     queries["cc_sketch_query"] = round(cc_alg_sec, 3)
+    log(f"[cc_sketch] building R-MAT skew ingest row")
+    # same ingest kernel over the Graph500 R-MAT stream — the hub-skew
+    # stress the salting path exists for (vs SimpleStream's mild skew)
+    rmat = linkgraph.rmat_stream(spark, 14, ingest_m, seed=42).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    m_rmat = rmat.count()
+    t_rmat, sl = float("inf"), None
+    for _ in range(2):
+        if sl is not None:
+            sl.unpersist(blocking=True)
+        t0 = time.time()
+        sl = build_group_slices(rmat, params, num_partitions=max(8, cpus)).persist()
+        sl.count()
+        t_rmat = min(t_rmat, time.time() - t0)
+    sl.unpersist(blocking=True)
+    queries["ingest_rmat_sketch_build"] = round(t_rmat, 3)
+    log(f"[ingest_rmat] {m_rmat} updates in {t_rmat:.2f}s = {m_rmat/t_rmat/1e6:.3f}M upd/s")
     log(f"[cc_sketch] {n_comp} components, {rounds_used[0]} rounds, {cc_alg_sec:.2f}s")
 
     # ------------------------------------------------------------------

@@ -396,6 +396,16 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(und, k=KTRUSS_K)
 
 
+def q_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle count (graph/triangles.py) — the 100TB
+    scale path: deterministic-hash edge sampling at p=1/4, exact count on
+    the sample, p_inv^3 scale-up. Oracle replays the identical law."""
+    from landscape_spark.graph.triangles import triangle_count_sampled
+
+    und = linkgraph.undirected_edges(spark, sf_dir)
+    return triangle_count_sampled(und, p_inv=4, seed=7)
+
+
 def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-correlation curve knn(k) (graph/stats.py) — mean neighbor
     degree per degree class, the plot beside assortativity."""
@@ -584,6 +594,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seeded_lpa": q_seeded_lpa,
     "salsa": q_salsa,
     "avg_neighbor_degree": q_avg_neighbor_degree,
+    "triangle_count_sampled": q_triangle_sampled,
     "cocitation_topk": q_cocitation,
     "coupling_topk": q_coupling,
     "linkpred_lsh_topk": q_linkpred_lsh,  # rows-only: xxhash64 LSH candidates
@@ -1809,6 +1820,24 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "sssp_weighted": _sssp_sql(),
     "seeded_lpa": _seeded_lpa_sql(),
     "salsa": _salsa_sql(),
+    "triangle_count_sampled": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+dl_sample AS MATERIALIZED (
+  SELECT a, b FROM lg_undirected
+  WHERE ((a % 1000003) * 2654435761
+         + (b % 1000003) * 40503 + 7) % 1000003 % 4 = 0
+),
+dl_tri AS (
+  SELECT COUNT(*) AS t
+  FROM dl_sample e1
+  JOIN dl_sample e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN dl_sample e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT (SELECT COUNT(*) FROM dl_sample) AS n_sampled_edges,
+       t AS sampled_triangles,
+       t * 64 AS est_triangles
+FROM dl_tri
+""",
     "avg_neighbor_degree": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 {_sym_cte()},
@@ -2051,6 +2080,21 @@ def q_pages_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("src", "dst")
 
 
+def q_rmat_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of a Graph500-style R-MAT graph
+    (linkgraph.rmat_stream, 2^10 vertices x 8x2^10 edges) — exercises the
+    zero-shuffle skewed generator through the engine. Rows-only
+    (xxhash64-seeded); determinism, quadrant marginals, and hub skew are
+    pinned in tests/test_linkgraph.py."""
+    stream = linkgraph.rmat_stream(spark, 10, 8 << 10)
+    return (
+        stream.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .groupBy("out_deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target anchor-text index over the synthesized pages table
     (pages.py::anchor_text_index): the classic web-search relevance
@@ -2150,6 +2194,7 @@ EXTRA_QUERIES.update(
         "rolling_fingerprint": q_rolling_fingerprint,  # rows-only: sequential fold
         "pages_extract_edges": q_pages_extract_edges,  # rows-only: HTML extraction
         "anchor_text_index": q_anchor_text_index,  # rows-only: HTML extraction
+        "rmat_degree_distribution": q_rmat_degree_distribution,  # rows-only: xxhash64 generator
         "media_image_features": q_media_image_features,  # rows-only: binary codec
         "media_audio_features": q_media_audio_features,  # rows-only: binary codec
         "k_spanning_forests": q_k_spanning_forests,  # rows-only: sketch-randomized

@@ -101,6 +101,53 @@ def clustering_coefficient(und_edges: DataFrame, vertices: DataFrame) -> DataFra
     return out
 
 
+# deterministic edge-sampling law for triangle_count_sampled — mirrored
+# verbatim in the DuckDB oracle; inner mods keep products under 2^53
+DOULION_M1, DOULION_A, DOULION_B = 1_000_003, 2_654_435_761, 40_503
+
+
+def triangle_count_sampled(
+    und_edges: DataFrame, p_inv: int = 4, seed: int = 7
+) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) approximate triangle count —
+    the 100TB scale path beside the exact counter: keep each edge with
+    probability 1/p_inv, count triangles exactly on the sample, scale by
+    p_inv^3 (unbiased; variance ~ p^-3 over surviving triangles). The
+    coin is a DETERMINISTIC public hash of the edge
+
+        keep(a,b) <=> ((a mod M)*A + (b mod M)*B + seed) mod M mod p_inv == 0
+
+    (M = 1000003 prime) so the estimate is reproducible,
+    partition-invariant, and reproduced exactly by the SQL oracle — the
+    same determinism-as-spec convention as graph/walks.py. One row:
+    (n_sampled_edges, sampled_triangles, est_triangles).
+
+    Sampling cuts the wedge join's work by ~p_inv^2 and its output by
+    ~p_inv^3 — at web scale this is the difference between counting on
+    10^12 edges and on 10^9."""
+    p_inv = int(p_inv)
+    keep = (
+        (
+            (F.col("a") % F.lit(DOULION_M1)) * F.lit(DOULION_A)
+            + (F.col("b") % F.lit(DOULION_M1)) * F.lit(DOULION_B)
+            + F.lit(int(seed))
+        )
+        % F.lit(DOULION_M1)
+        % F.lit(p_inv)
+        == 0
+    )
+    sample = und_edges.where(keep)
+    n_edges = sample.agg(F.count(F.lit(1)).alias("n_sampled_edges"))
+    tri = triangle_count(sample).select(
+        F.col("n_triangles").alias("sampled_triangles")
+    )
+    return n_edges.crossJoin(tri).select(
+        "n_sampled_edges",
+        "sampled_triangles",
+        (F.col("sampled_triangles") * F.lit(p_inv**3)).alias("est_triangles"),
+    )
+
+
 def triangle_count(und_edges: DataFrame) -> DataFrame:
     """Single-row DataFrame (n_triangles) — exact global triangle count."""
     o = _oriented_by_degree(und_edges)

@@ -382,3 +382,50 @@ def synth_edge_stream(
         .where(F.col("src") != F.col("dst"))
     )
     return df
+
+
+def rmat_stream(
+    spark: SparkSession,
+    n_log2: int,
+    n_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+) -> DataFrame:
+    """Graph500-style R-MAT edge generator (Chakrabarti et al., SDM'04) —
+    THE standard skewed benchmark generator for web/social graphs (the
+    Graph500 spec fixes (a,b,c,d) = (.57,.19,.19,.05); d = 1-a-b-c).
+
+    Each of ``n_edges`` edges descends ``n_log2`` quadrant levels; the
+    level-l coin is xxhash64(edge_idx, l, seed) mapped into [0,1) via its
+    top 53 bits, so the stream is fully deterministic, O(1)-state, and a
+    pure zero-shuffle JVM projection (the er_hash_stream standard — at
+    10^12 edges nothing is materialized but the projection itself).
+    Output (upd_idx, src, dst) on 2^n_log2 vertices; R-MAT semantics keep
+    self-loops and duplicate edges (canonicalize downstream if needed).
+    """
+    assert 0 < a and 0 < b and 0 < c and a + b + c < 1
+    levels = int(n_log2)
+    src_expr = F.lit(0).cast("long")
+    dst_expr = F.lit(0).cast("long")
+    for lvl in range(levels):
+        u = (
+            F.shiftrightunsigned(
+                F.xxhash64(F.col("id"), F.lit(lvl), F.lit(seed)), 11
+            ).cast("double")
+            / F.lit(float(1 << 53))
+        )
+        sbit = F.when(u >= F.lit(a + b), F.lit(1)).otherwise(F.lit(0))
+        dbit = F.when(
+            (u >= F.lit(a)) & (u < F.lit(a + b)), F.lit(1)
+        ).otherwise(
+            F.when(u >= F.lit(a + b + c), F.lit(1)).otherwise(F.lit(0))
+        )
+        src_expr = src_expr + (sbit.cast("long") * F.lit(1 << lvl))
+        dst_expr = dst_expr + (dbit.cast("long") * F.lit(1 << lvl))
+    return spark.range(int(n_edges)).select(
+        F.col("id").alias("upd_idx"),
+        src_expr.alias("src"),
+        dst_expr.alias("dst"),
+    )

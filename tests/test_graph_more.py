@@ -782,3 +782,61 @@ def test_term_zipf_alpha_matches_python(spark):
     row = term_zipf_alpha(df, fmin=fmin).first()
     assert row.n_tail == len(tail)
     assert row.alpha == pytest.approx(round(want, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# DOULION sampled triangle count
+# ---------------------------------------------------------------------------
+
+def test_doulion_pinv1_equals_exact(spark):
+    from landscape_spark.graph.triangles import (
+        triangle_count,
+        triangle_count_sampled,
+    )
+
+    edges = _rand_undirected(31, 30, 120)
+    e = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_count_sampled(e, p_inv=1).first()
+    exact = triangle_count(e).first().n_triangles
+    assert row.n_sampled_edges == len(edges)
+    assert row.sampled_triangles == exact and row.est_triangles == exact
+
+
+def test_doulion_matches_python_law_replay(spark):
+    from landscape_spark.graph.triangles import (
+        DOULION_A,
+        DOULION_B,
+        DOULION_M1,
+        triangle_count_sampled,
+    )
+
+    edges = _rand_undirected(32, 40, 200)
+    p_inv, seed = 3, 11
+    kept = [(a, b) for a, b in edges
+            if ((a % DOULION_M1) * DOULION_A + (b % DOULION_M1) * DOULION_B
+                + seed) % DOULION_M1 % p_inv == 0]
+    nbrs = {}
+    for a, b in kept:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in kept for c in nbrs[a] & nbrs[b] if c > b)
+    e = spark.createDataFrame(edges, "a long, b long")
+    row = triangle_count_sampled(e, p_inv=p_inv, seed=seed).first()
+    assert (row.n_sampled_edges, row.sampled_triangles, row.est_triangles) == (
+        len(kept), tri, tri * p_inv**3
+    )
+
+
+def test_doulion_estimate_reasonable_at_gate_scale(spark, sf_small):
+    """Deterministic law + fixed graph => this is a fixed number, pinned
+    within the statistical band DOULION promises at this sample size."""
+    from landscape_spark.graph.triangles import (
+        triangle_count,
+        triangle_count_sampled,
+    )
+    from landscape_spark import linkgraph
+
+    und = linkgraph.undirected_edges(spark, sf_small).localCheckpoint(eager=True)
+    exact = triangle_count(und).first().n_triangles
+    est = triangle_count_sampled(und, p_inv=2, seed=7).first().est_triangles
+    assert abs(est - exact) / exact < 0.5

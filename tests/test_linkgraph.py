@@ -56,3 +56,54 @@ def test_synth_stream_deterministic(spark):
     b = linkgraph.synth_edge_stream(spark, 1024, 10_000, seed=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(0 <= r.src < 1024 and 0 <= r.dst < 1024 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# R-MAT generator
+# ---------------------------------------------------------------------------
+
+def test_rmat_deterministic_and_bounded(spark):
+    from landscape_spark.linkgraph import rmat_stream
+
+    a = sorted(map(tuple, rmat_stream(spark, 8, 2000, seed=5).collect()))
+    b = sorted(map(tuple, rmat_stream(spark, 8, 2000, seed=5).collect()))
+    assert a == b and len(a) == 2000
+    for _, s, d in a:
+        assert 0 <= s < 256 and 0 <= d < 256
+    c = sorted(map(tuple, rmat_stream(spark, 8, 2000, seed=6).collect()))
+    assert a != c  # seed matters
+
+
+def test_rmat_quadrant_marginals(spark):
+    """P(src top bit = 1) = c + d and P(dst top bit = 1) = b + d under the
+    level-independent quadrant law — checked at the top level with a
+    generous statistical band (the law is deterministic, so this is a
+    fixed number, not a flaky sample)."""
+    from pyspark.sql import functions as F
+
+    from landscape_spark.linkgraph import rmat_stream
+
+    a_, b_, c_ = 0.57, 0.19, 0.19
+    d_ = 1 - a_ - b_ - c_
+    df = rmat_stream(spark, 10, 30000, a=a_, b=b_, c=c_)
+    half = 1 << 9
+    fr = df.agg(
+        F.avg((F.col("src") >= half).cast("double")).alias("fs"),
+        F.avg((F.col("dst") >= half).cast("double")).alias("fd"),
+    ).first()
+    assert abs(fr.fs - (c_ + d_)) < 0.02
+    assert abs(fr.fd - (b_ + d_)) < 0.02
+
+
+def test_rmat_is_skewed_and_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from landscape_spark.linkgraph import rmat_stream
+
+    df = rmat_stream(spark, 12, 40000)
+    deg = df.groupBy("src").count().agg(
+        F.max("count").alias("mx"), F.avg("count").alias("mean")
+    ).first()
+    assert deg.mx > 20 * deg.mean  # hub skew, the property R-MAT exists for
+    plan = rmat_stream(spark, 12, 1000)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
