@@ -453,6 +453,27 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus quality roll-up — the text x host-contraction
+    composition a crawl-curation pipeline cuts on ("drop low-quality
+    hosts wholesale"): quality_score per document, aggregated per host
+    under the deterministic host law (HOST_MOD — the same law as the
+    host_graph gates)."""
+    from landscape_spark.text import analysis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = analysis.quality_score(docs)
+    return (
+        q.select((F.col("doc_id") % HOST_MOD).alias("host"), "quality")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+    )
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA hubs & authorities (graph/salsa.py): the Lempel–Moran
     stochastic walk behind who-to-follow systems — mass-conserving
@@ -593,6 +614,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_weighted": q_sssp_weighted,
     "seeded_lpa": q_seeded_lpa,
     "salsa": q_salsa,
+    "host_quality": q_host_quality,
     "avg_neighbor_degree": q_avg_neighbor_degree,
     "triangle_count_sampled": q_triangle_sampled,
     "cocitation_topk": q_cocitation,
@@ -1981,6 +2003,13 @@ SELECT vec_id, sim FROM (
         "term_postings": tfidf.term_postings_sql(),
         "ngram_counts": tfidf.ngram_counts_sql(n=2, k=JACCARD_K),
         "term_zipf": tfidf.term_zipf_alpha_sql(fmin=POWERLAW_DMIN),
+        "host_quality": (
+            "WITH q AS (" + analysis.QUALITY_SQL + ") "
+            "SELECT doc_id % {hm} AS host, COUNT(*) AS n_docs, "
+            "ROUND(AVG(quality), 6) AS avg_quality, "
+            "ROUND(MIN(quality), 6) AS min_quality "
+            "FROM q GROUP BY doc_id % {hm}"
+        ).format(hm=HOST_MOD),
         "quality_score": analysis.QUALITY_SQL,
         "lang_id": analysis.LANG_ID_SQL,
         "doc_fingerprint": analysis.FINGERPRINT_SQL,
