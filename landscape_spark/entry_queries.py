@@ -332,6 +332,19 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select("v", F.round("katz", 6).alias("katz"))
 
 
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (graph/katz.py eigenvector_centrality):
+    L1-normalized power iteration on A^T — the no-teleport member of the
+    centrality family. Oracle: HITS-authority-shaped unrolled CTEs."""
+    from landscape_spark.graph.katz import eigenvector_centrality
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    n = linkgraph.num_vertices(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    x = eigenvector_centrality(e, verts, n, iters=HITS_ITERS)
+    return x.select("v", F.round("eigen", 6).alias("eigen"))
+
+
 def q_rectangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four-cycle / rectangle count (graph/motifs.py): the co-citation /
     link-farm motif one step up from triangles. Uncapped (exact) at gate
@@ -603,6 +616,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reciprocity": q_reciprocity,
     "degree_assortativity": q_degree_assortativity,
     "katz": q_katz,
+    "eigenvector": q_eigenvector,
     "rectangle_count": q_rectangle_count,
     "jaccard_topk": q_jaccard_topk,
     "modularity_lpa": q_modularity_lpa,
@@ -1433,6 +1447,35 @@ LEFT JOIN sa{iters} a ON a.v = lv.v
 LEFT JOIN sh{iters} h ON h.v = lv.v"""
 
 
+def _eigen_sql(iters: int = HITS_ITERS) -> str:
+    """Eigenvector oracle: the HITS-authority half-step iterated on A^T
+    with uniform init (graph/katz.py::eigenvector_centrality)."""
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        "ev0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE)"
+        " / (SELECT n FROM lg_n) AS s FROM lg_vertices)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""ev{t}_raw AS MATERIALIZED (
+  SELECT e.dst AS v, SUM(p.s) AS c
+  FROM lg_edges e JOIN ev{t - 1} p ON p.v = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""ev{t} AS MATERIALIZED (
+  SELECT lv.v AS v,
+         CASE WHEN (SELECT COALESCE(SUM(c), 0) FROM ev{t}_raw) > 0
+              THEN COALESCE(r.c, 0) / (SELECT SUM(c) FROM ev{t}_raw)
+              ELSE 0.0 END AS s
+  FROM lg_vertices lv LEFT JOIN ev{t}_raw r ON r.v = lv.v
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT v, ROUND(s, 6) AS eigen FROM ev{iters}"
+
+
 def _sssp_sql(max_hops: int = SSSP_ORACLE_HOPS) -> str:
     """Weighted-SSSP oracle: bounded recursive walk accumulating the
     deterministic 1..5 edge-cost law, then MIN(d) per vertex (the
@@ -1834,6 +1877,7 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "host_graph": _host_graph_sql(),
     "host_pagerank": _host_pagerank_sql(),
     "katz": _katz_sql(),
+    "eigenvector": _eigen_sql(),
     "modularity_lpa": _modularity_sql(),
     "edge_support": _edge_support_sql(),
     "ktruss": _ktruss_sql(),

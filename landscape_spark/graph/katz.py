@@ -72,3 +72,50 @@ def katz_centrality(
             .localCheckpoint(eager=True)
         )
     return x.select("v", F.col("x").alias("katz"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    vertices: DataFrame,
+    n_vertices: int,
+    iters: int = 10,
+) -> DataFrame:
+    """(v, eigen): L1-normalized power iteration on A^T — the alpha→1/λ
+    limit of Katz without the additive floor, i.e. HITS's authority
+    half-step iterated on the plain link matrix. L1 (sum) normalization
+    instead of L2 for the same reason as hits.py: the norm folds into the
+    oracle as a plain SUM, no libm sqrt. A graph whose every in-score
+    sums to zero mass (no edges) yields all-zero scores via the norm
+    guard. Same plan discipline as katz_centrality: cached src-
+    partitioned edges, one shuffle per iteration, 1-row broadcast norm."""
+    spark = edges.sparkSession
+    p = local_parallelism(spark)
+    e = edges.select("src", "dst").repartition(p, "src").cache()
+    e.count()
+    x = vertices.select(
+        "v", F.lit(1.0 / float(n_vertices)).alias("x")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        raw = (
+            e.join(x, e.src == x.v)
+            .select(F.col("dst").alias("v"), F.col("x").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        norm = raw.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("_n"))
+        x = (
+            vertices.join(raw, on="v", how="left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                "v",
+                F.when(
+                    F.col("_n") > 0,
+                    F.coalesce(F.col("c"), F.lit(0.0)) / F.col("_n"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return x.select("v", F.col("x").alias("eigen"))

@@ -840,3 +840,44 @@ def test_doulion_estimate_reasonable_at_gate_scale(spark, sf_small):
     exact = triangle_count(und).first().n_triangles
     est = triangle_count_sampled(und, p_inv=2, seed=7).first().est_triangles
     assert abs(est - exact) / exact < 0.5
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality
+# ---------------------------------------------------------------------------
+
+def _eigen_np(edges, n, iters):
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        raw = A.T @ x
+        tot = raw.sum()
+        x = raw / tot if tot > 0 else np.zeros(n)
+    return x
+
+
+@pytest.mark.parametrize("seed", [33, 34])
+def test_eigenvector_matches_numpy(spark, seed):
+    from landscape_spark.graph.katz import eigenvector_centrality
+
+    n = 40
+    edges = _rand_digraph(seed, n, 160)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.eigen
+           for r in eigenvector_centrality(e, _verts(spark, n), n,
+                                           iters=8).collect()}
+    want = _eigen_np(edges, n, 8)
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_eigenvector_edgeless_is_all_zero(spark):
+    from landscape_spark.graph.katz import eigenvector_centrality
+
+    e = spark.createDataFrame([], "src long, dst long")
+    got = {r.v: r.eigen
+           for r in eigenvector_centrality(e, _verts(spark, 3), 3,
+                                           iters=3).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0}
