@@ -101,9 +101,12 @@ def main() -> None:
     log(f"[cc_sketch] building R-MAT skew ingest row")
     # same ingest kernel over the Graph500 R-MAT stream — the hub-skew
     # stress the salting path exists for (vs SimpleStream's mild skew)
+    # pre-materialized, like the reference's pre-built binary stream files
+    # (cluster_speed_expr.cpp:46) — generation (14 xxhash64 levels/edge,
+    # ~10s standalone) is not ingest cost
     rmat = linkgraph.rmat_stream(spark, 14, ingest_m, seed=42).select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).where(F.col("a") != F.col("b"))
+    ).where(F.col("a") != F.col("b")).localCheckpoint(eager=True)
     m_rmat = rmat.count()
     t_rmat, sl = float("inf"), None
     for _ in range(2):
