@@ -24,10 +24,11 @@ stop early at dangling vertices (no out-links), the standard convention.
 
 Plan shape: the ranked adjacency (src, rank, dst, out_deg) is built ONCE
 with a per-src window (partitioned by src — never a global window) and
-cached; each step is one hash join of the walk frontier against it on
-src = v with the rank equation as a post-filter (frontier-sized traffic;
-out-degrees on web pages are bounded, so the per-join fan-out is the
-out-degree, not the in-degree hub skew). Lineage is cut per step.
+cached; each step resolves the hop rank with a vertex-keyed degree join,
+then fetches the chosen neighbor via an EQUI-join on (src, rank) — one
+matching adjacency row per walker, NO per-hub fan-out (see the in-loop
+comment for the 10^12-row failure mode the equi-key avoids). Lineage is
+cut per step.
 """
 
 from __future__ import annotations
@@ -77,8 +78,10 @@ def random_walks(
     itself; walks truncate at dangling vertices)."""
     spark = edges.sparkSession
     p = local_parallelism(spark)
-    adj = ranked_adjacency(edges).repartition(p, "src").cache()
+    adj = ranked_adjacency(edges).repartition(p, "src", "rank").cache()
     adj.count()
+    deg = adj.select("src", "out_deg").distinct().cache()
+    deg.count()
 
     state = vertices.select(
         F.col("v").alias("start_v"),
@@ -96,9 +99,23 @@ def random_walks(
     for t in range(1, int(walk_len) + 1):
         walk_key = F.col("start_v") * F.lit(WALK_SHIFT) + F.col("walk")
         h = _hop_rank(F.col("v"), t - 1, walk_key)
+        # resolve the hop rank BEFORE touching the adjacency, then fetch
+        # the chosen neighbor with an EQUI-join on (src, rank): joining on
+        # src alone and post-filtering the rank equation would fan each
+        # walker at a degree-D hub out to D intermediate rows — 10^6
+        # walkers parked on a 10^6-degree hub is a 10^12-row join. The
+        # degree lookup is a plain vertex-keyed hash join (no fan-out).
+        picked = (
+            state.join(deg, deg.src == state.v)
+            .select(
+                "start_v",
+                "walk",
+                F.col("v").alias("src"),
+                (h % F.col("out_deg")).alias("rank"),
+            )
+        )
         nxt = (
-            state.join(adj, adj.src == state.v)
-            .where(F.col("rank") == h % F.col("out_deg"))
+            picked.join(adj.select("src", "rank", "dst"), on=["src", "rank"])
             .select(
                 "start_v",
                 "walk",
@@ -115,6 +132,7 @@ def random_walks(
     for lv in levels[1:]:
         out = out.unionAll(lv)
     adj.unpersist()
+    deg.unpersist()
     return out
 
 
