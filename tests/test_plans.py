@@ -302,3 +302,41 @@ def test_motif_and_jaccard_paths_no_cartesian(spark, sf_small):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in _plan(jaccard_topk(und, k=10))
+
+
+def test_salsa_and_sssp_no_vertex_broadcast_no_cartesian(spark, sf_small):
+    """SALSA's walk steps and the SSSP frontier rounds must stay hash
+    joins: no O(n) identity broadcast, no cartesian fallback."""
+    from landscape_spark.graph.salsa import salsa
+    from landscape_spark.graph.traversal import sssp_weighted
+
+    e = linkgraph.directed_edges(spark, sf_small)
+    verts = linkgraph.vertices(spark, sf_small)
+    plan = _plan(salsa(e, verts, iters=1))
+    assert "IdentityBroadcastMode" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    ew = linkgraph.weighted_directed_edges(spark, sf_small)
+    plan2 = _plan(sssp_weighted(ew, seeds=[0, 1], max_iter=2))
+    assert "CartesianProduct" not in plan2, plan2
+
+
+def test_ngram_counts_is_jvm_topk(spark, sf_small):
+    """Corpus n-gram counting: per-doc arrays stay JVM-side (no Python
+    UDF), and the top-k compiles to TakeOrderedAndProject — never a
+    global single-partition sort."""
+    from landscape_spark.text.tfidf import ngram_counts
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(ngram_counts(docs, n=2, k=10))
+    assert "BatchEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_anchor_index_window_partitions_by_target(spark):
+    """The anchor-text argmax window must partition by the target url —
+    a global window would funnel the whole index through one task."""
+    from landscape_spark import pages as P
+
+    pg = P.synthesize_pages(spark, 50, seed=42)
+    plan = _plan(P.anchor_text_index(P.extract_anchors(pg)))
+    assert "hashpartitioning(out_url" in plan, plan
