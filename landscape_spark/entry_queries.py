@@ -31,6 +31,7 @@ KATZ_BETA = 1.0
 JACCARD_K = 20
 POWERLAW_DMIN = 3
 KTRUSS_K = 4
+BETWEENNESS_ORACLE_DEPTH = 6  # hub BFS eccentricity at sf0.01 is 4; +2 margin
 KTRUSS_ORACLE_ROUNDS = 12  # measured fixpoint at sf0.01 is 8; margin 4
 WALK_LEN = 6
 WALKS_PER_VERTEX = 2
@@ -332,6 +333,20 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select("v", F.round("katz", 6).alias("katz"))
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-source Brandes betweenness from the hub pivot set
+    (graph/betweenness.py) — the brokerage centrality, deterministic
+    because the pivots are fixed. Oracle: both Brandes phases unrolled
+    level-by-level ({BETWEENNESS_ORACLE_DEPTH} levels; the hub BFS
+    eccentricity at sf0.01 is 4, and empty tail levels are exact no-ops
+    since BFS levels are contiguous)."""
+    from landscape_spark.graph.betweenness import betweenness_sources
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return betweenness_sources(e, verts, sources=PPR_SEEDS)
+
+
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (graph/katz.py eigenvector_centrality):
     L1-normalized power iteration on A^T — the no-teleport member of the
@@ -617,6 +632,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_assortativity": q_degree_assortativity,
     "katz": q_katz,
     "eigenvector": q_eigenvector,
+    "betweenness": q_betweenness,
     "rectangle_count": q_rectangle_count,
     "jaccard_topk": q_jaccard_topk,
     "modularity_lpa": q_modularity_lpa,
@@ -1447,6 +1463,68 @@ LEFT JOIN sa{iters} a ON a.v = lv.v
 LEFT JOIN sh{iters} h ON h.v = lv.v"""
 
 
+def _betweenness_sql(depth: int = BETWEENNESS_ORACLE_DEPTH) -> str:
+    """Brandes oracle: forward sigma levels + backward delta levels
+    unrolled (graph/betweenness.py fixes the semantics — directed,
+    unnormalized, hub pivot set)."""
+    seeds = ", ".join(f"({s})" for s in PPR_SEEDS)
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        (
+            f"bw_l0 AS MATERIALIZED (SELECT CAST(t.v AS BIGINT) AS s,"
+            f" CAST(t.v AS BIGINT) AS v, CAST(1 AS BIGINT) AS sigma"
+            f" FROM (VALUES {seeds}) t(v))"
+        ),
+        "bw_all0 AS MATERIALIZED (SELECT s, v FROM bw_l0)",
+    ]
+    for t in range(1, depth + 1):
+        parts.append(
+            f"""bw_l{t} AS MATERIALIZED (
+  SELECT p.s AS s, e.dst AS v, SUM(p.sigma) AS sigma
+  FROM bw_l{t - 1} p JOIN lg_edges e ON e.src = p.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bw_all{t - 1} a WHERE a.s = p.s AND a.v = e.dst
+  )
+  GROUP BY p.s, e.dst
+)"""
+        )
+        parts.append(
+            f"bw_all{t} AS MATERIALIZED (SELECT s, v FROM bw_all{t - 1}"
+            f" UNION ALL SELECT s, v FROM bw_l{t})"
+        )
+    parts.append(
+        f"bw_d{depth} AS MATERIALIZED (SELECT s, v, CAST(0 AS DOUBLE)"
+        f" AS delta FROM bw_l{depth})"
+    )
+    for t in range(depth - 1, -1, -1):
+        parts.append(
+            f"""bw_c{t} AS MATERIALIZED (
+  SELECT p.s AS s, p.v AS v,
+         SUM((CAST(p.sigma AS DOUBLE) / w.sigma) * (1 + wd.delta)) AS delta
+  FROM bw_l{t} p
+  JOIN lg_edges e ON e.src = p.v
+  JOIN bw_l{t + 1} w ON w.s = p.s AND w.v = e.dst
+  JOIN bw_d{t + 1} wd ON wd.s = p.s AND wd.v = e.dst
+  GROUP BY p.s, p.v
+)"""
+        )
+        parts.append(
+            f"""bw_d{t} AS MATERIALIZED (
+  SELECT p.s, p.v, COALESCE(c.delta, 0) AS delta
+  FROM bw_l{t} p LEFT JOIN bw_c{t} c ON c.s = p.s AND c.v = p.v
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT s, v, delta FROM bw_d{t}" for t in range(depth + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT lv.v AS v, ROUND(COALESCE(b.bc, 0), 6) AS betweenness
+FROM lg_vertices lv LEFT JOIN (
+  SELECT v, SUM(delta) AS bc FROM ({union}) WHERE v <> s GROUP BY v
+) b ON b.v = lv.v"""
+
+
 def _eigen_sql(iters: int = HITS_ITERS) -> str:
     """Eigenvector oracle: the HITS-authority half-step iterated on A^T
     with uniform init (graph/katz.py::eigenvector_centrality)."""
@@ -1878,6 +1956,7 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "host_pagerank": _host_pagerank_sql(),
     "katz": _katz_sql(),
     "eigenvector": _eigen_sql(),
+    "betweenness": _betweenness_sql(),
     "modularity_lpa": _modularity_sql(),
     "edge_support": _edge_support_sql(),
     "ktruss": _ktruss_sql(),

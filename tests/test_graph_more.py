@@ -881,3 +881,90 @@ def test_eigenvector_edgeless_is_all_zero(spark):
            for r in eigenvector_centrality(e, _verts(spark, 3), 3,
                                            iters=3).collect()}
     assert got == {0: 0.0, 1: 0.0, 2: 0.0}
+
+
+# ---------------------------------------------------------------------------
+# Betweenness (k-source Brandes)
+# ---------------------------------------------------------------------------
+
+def _brandes_py(edges, n, sources):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    bc = dict.fromkeys(range(n), 0.0)
+    for s in sources:
+        dist, sigma, order, preds = {s: 0}, {s: 1}, [], {}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[v]
+                    preds.setdefault(w, []).append(v)
+        delta = dict.fromkeys(order, 0.0)
+        for w in reversed(order):
+            for v in preds.get(w, ()):
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+@pytest.mark.parametrize("seed", [35, 36])
+def test_betweenness_matches_python_brandes(spark, seed):
+    from landscape_spark.graph.betweenness import betweenness_sources
+
+    n = 35
+    edges = _rand_digraph(seed, n, 120)
+    srcs = [0, 1, 2, 5]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.betweenness
+           for r in betweenness_sources(e, _verts(spark, n), srcs).collect()}
+    want = _brandes_py(edges, n, srcs)
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v] == pytest.approx(round(want[v], 6), abs=2e-6), v
+
+
+def test_betweenness_path_graph_exact(spark):
+    """Directed path 0->1->2->3 from source 0: delta(1)=2, delta(2)=1 —
+    the textbook hand case."""
+    from landscape_spark.graph.betweenness import betweenness_sources
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.v: r.betweenness
+           for r in betweenness_sources(e, _verts(spark, 4), [0]).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 1.0, 3: 0.0}
+
+
+def test_betweenness_diamond_splits_paths(spark):
+    """Diamond 0->{1,2}->3: two shortest paths; 1 and 2 each carry half."""
+    from landscape_spark.graph.betweenness import betweenness_sources
+
+    e = spark.createDataFrame([(0, 1), (0, 2), (1, 3), (2, 3)],
+                              "src long, dst long")
+    got = {r.v: r.betweenness
+           for r in betweenness_sources(e, _verts(spark, 4), [0]).collect()}
+    assert got == {0: 0.0, 1: 0.5, 2: 0.5, 3: 0.0}
+
+
+def test_betweenness_oracle_depth_is_noop(spark, sf_mid):
+    """Raising the unroll past BETWEENNESS_ORACLE_DEPTH must not change
+    any value (tail levels are empty; BFS levels are contiguous)."""
+    import duckdb
+
+    from landscape_spark.entry_queries import _betweenness_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE documents AS SELECT * FROM '{sf_mid}/documents.parquet'"
+    )
+    a = sorted(con.execute(_betweenness_sql()).fetchall())
+    b = sorted(con.execute(_betweenness_sql(depth=9)).fetchall())
+    assert a == b
