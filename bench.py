@@ -262,6 +262,13 @@ def main() -> None:
         lambda: degree_assortativity(e_und).count(), 2
     )
 
+    from landscape_spark.graph.betweenness import betweenness_sources
+
+    queries["betweenness_8src"] = best_of(
+        lambda: betweenness_sources(e_dir, verts, sources=list(range(8))).count(),
+        1,
+    )
+
     from landscape_spark.graph.katz import katz_centrality
 
     queries["katz_10iter"] = best_of(
