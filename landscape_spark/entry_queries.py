@@ -761,6 +761,57 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+URL_INJECT_SQL = (
+    "SELECT doc_id, CASE doc_id % 4"
+    " WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 64 AS VARCHAR)"
+    "   || '.Example.COM:80/p/' || CAST(doc_id AS VARCHAR)"
+    "   || '?utm_source=x&id=' || CAST(doc_id AS VARCHAR)"
+    " WHEN 1 THEN 'https://site' || CAST(doc_id % 64 AS VARCHAR)"
+    "   || '.example.com:443/a/b/' || CAST(doc_id AS VARCHAR)"
+    "   || '/?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y#frag'"
+    " WHEN 2 THEN 'https://Site' || CAST(doc_id % 64 AS VARCHAR)"
+    "   || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '/'"
+    " ELSE 'http://site' || CAST(doc_id % 64 AS VARCHAR)"
+    "   || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?gclid=abc'"
+    " END AS url FROM documents"
+)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (text/urls.py) over a deterministically
+    messy injected url per document (mixed case, default ports, tracking
+    params, fragments, trailing slashes — identically injected on both
+    engines, the pii_scrub convention): the crawl-frontier cleanup pass
+    every url-keyed join depends on."""
+    from landscape_spark.text.urls import canonicalize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sid = (F.col("doc_id") % 64).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://Site"), sid, F.lit(".Example.COM:80/p/"),
+                     did, F.lit("?utm_source=x&id="), did),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://site"), sid, F.lit(".example.com:443/a/b/"),
+                     did, F.lit("/?id="), did, F.lit("&utm_campaign=y#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://Site"), sid, F.lit(".example.com/p/"),
+                     did, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://site"), sid, F.lit(".example.com/p/"),
+                     did, F.lit("?gclid=abc")),
+        )
+    )
+    return canonicalize_urls(docs.select("doc_id", url.alias("url")))
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation pipeline a training-data run executes,
     composed from the engine's own operators — exact dedup (keep min-id
@@ -1006,6 +1057,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_tokens,
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
+    "url_canonicalize": q_url_canonicalize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
@@ -2126,6 +2178,9 @@ SELECT vec_id, sim FROM (
         "term_postings": tfidf.term_postings_sql(),
         "ngram_counts": tfidf.ngram_counts_sql(n=2, k=JACCARD_K),
         "term_zipf": tfidf.term_zipf_alpha_sql(fmin=POWERLAW_DMIN),
+        "url_canonicalize": __import__(
+            "landscape_spark.text.urls", fromlist=["canonicalize_urls_sql"]
+        ).canonicalize_urls_sql(URL_INJECT_SQL),
         "host_quality": (
             "WITH q AS (" + analysis.QUALITY_SQL + ") "
             "SELECT doc_id % {hm} AS host, COUNT(*) AS n_docs, "

@@ -544,3 +544,55 @@ def test_near_dup_groups_cross_family_union(spark):
     }
     assert {groups[i] for i in (10, 11, 12, 13, 14)} == {10}
     assert all(groups[20 + i] == 20 + i for i in range(6))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    # (raw, canon, host, depth)
+    ("HTTP://Ex.COM:80/A/B?id=1#x", "http://ex.com/A/B?id=1", "ex.com", 2),
+    ("https://ex.com:443/", "https://ex.com", "ex.com", 0),        # root slash stripped too
+    ("https://ex.com:8443/a/", "https://ex.com:8443/a", "ex.com", 1),  # non-default port kept
+    ("http://ex.com/a?utm_source=1&utm_medium=2&utm_term=3&id=9",
+     "http://ex.com/a?id=9", "ex.com", 1),                          # 3 adjacent tracking
+    ("http://ex.com/a?id=9&gclid=zz", "http://ex.com/a?id=9", "ex.com", 1),
+    ("http://ex.com/a?fbclid=zz", "http://ex.com/a", "ex.com", 1),
+    ("https://Ex.com/CaseKept/Path", "https://ex.com/CaseKept/Path",
+     "ex.com", 2),                                                  # path case preserved
+]
+
+
+def test_url_canonicalization_rules(spark):
+    from landscape_spark.text.urls import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, *_rest) in enumerate(URL_CASES)],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: (r.canon_url, r.host, r.path_depth)
+           for r in canonicalize_urls(df).collect()}
+    for i, (_raw, canon, host, depth) in enumerate(URL_CASES):
+        assert got[i] == (canon, host, depth), (i, got[i])
+
+
+def test_url_canonicalization_cross_engine_parity(spark):
+    """The DuckDB chain must rewrite the SAME tricky inputs byte-for-byte
+    identically (the pii.py convention)."""
+    import duckdb
+
+    from landscape_spark.text.urls import canonicalize_urls, canonicalize_urls_sql
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, *_r) in enumerate(URL_CASES)],
+        "doc_id long, url string",
+    )
+    got = sorted(map(tuple, canonicalize_urls(df).collect()))
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{raw}')" for i, (raw, *_r) in enumerate(URL_CASES)
+    )
+    src = f"SELECT * FROM (VALUES {vals}) t(doc_id, url)"
+    want = sorted(map(tuple, con.execute(canonicalize_urls_sql(src)).fetchall()))
+    assert got == want
