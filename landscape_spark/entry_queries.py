@@ -812,6 +812,37 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_urls(docs.select("doc_id", url.alias("url")))
 
 
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier dedup on CANONICAL urls — the composition
+    url_canonicalize exists for: the injection law gives every page pair
+    (2k, 2k+1) two DIFFERENT raw urls (case/port/tracking vs
+    fragment/trailing-slash variants) that canonicalize to the SAME url;
+    the dedup groups by canon_url and keeps the min doc_id. Output:
+    (canon_url, n_aliases, keep_id) — every group has exactly 2 aliases
+    by construction, which the oracle checks value-for-value."""
+    from landscape_spark.text.urls import canonicalize_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pid = F.expr("doc_id DIV 2").cast("string")
+    sid = (F.expr("doc_id DIV 2") % 64).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP://Site"), sid, F.lit(".Example.COM:80/p/"),
+                 pid, F.lit("?utm_source=a")),
+    ).otherwise(
+        F.concat(F.lit("http://Site"), sid, F.lit(".example.com/p/"),
+                 pid, F.lit("/#top")),
+    )
+    c = canonicalize_urls(docs.select("doc_id", url.alias("url")))
+    return (
+        c.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation pipeline a training-data run executes,
     composed from the engine's own operators — exact dedup (keep min-id
@@ -1058,6 +1089,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "curate_corpus": q_curate_corpus,
     "url_canonicalize": q_url_canonicalize,
+    "frontier_dedup": q_frontier_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,  # rows-only: candidate-gen is hash-based
@@ -2148,9 +2180,34 @@ def _decontaminate_sql() -> str:
     return decontaminate_sql(n=64, bench_pred="doc_id % 20 = 0")
 
 
+FRONTIER_INJECT_SQL = (
+    "SELECT doc_id,"
+    " CASE doc_id % 2 WHEN 0 THEN"
+    "  'HTTP://Site' || CAST((doc_id // 2) % 64 AS VARCHAR)"
+    "  || '.Example.COM:80/p/' || CAST(doc_id // 2 AS VARCHAR)"
+    "  || '?utm_source=a'"
+    " ELSE"
+    "  'http://Site' || CAST((doc_id // 2) % 64 AS VARCHAR)"
+    "  || '.example.com/p/' || CAST(doc_id // 2 AS VARCHAR)"
+    "  || '/#top'"
+    " END AS url FROM documents"
+)
+
+
+def _frontier_dedup_sql() -> str:
+    from landscape_spark.text import urls
+
+    return (
+        "WITH fd AS ("
+        + urls.canonicalize_urls_sql(FRONTIER_INJECT_SQL)
+        + ") SELECT canon_url, COUNT(*) AS n_aliases,"
+        " MIN(doc_id) AS keep_id FROM fd GROUP BY canon_url"
+    )
+
+
 def _text_oracles() -> dict[str, str]:
     from landscape_spark.sim.embdup import embedding_near_dup_sql
-    from landscape_spark.text import analysis, dedup, tfidf
+    from landscape_spark.text import analysis, dedup, tfidf, urls
 
     ann_sql = """
 WITH q AS (
@@ -2178,9 +2235,8 @@ SELECT vec_id, sim FROM (
         "term_postings": tfidf.term_postings_sql(),
         "ngram_counts": tfidf.ngram_counts_sql(n=2, k=JACCARD_K),
         "term_zipf": tfidf.term_zipf_alpha_sql(fmin=POWERLAW_DMIN),
-        "url_canonicalize": __import__(
-            "landscape_spark.text.urls", fromlist=["canonicalize_urls_sql"]
-        ).canonicalize_urls_sql(URL_INJECT_SQL),
+        "frontier_dedup": _frontier_dedup_sql(),
+        "url_canonicalize": urls.canonicalize_urls_sql(URL_INJECT_SQL),
         "host_quality": (
             "WITH q AS (" + analysis.QUALITY_SQL + ") "
             "SELECT doc_id % {hm} AS host, COUNT(*) AS n_docs, "
