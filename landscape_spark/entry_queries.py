@@ -453,6 +453,14 @@ def q_term_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete in-degree percentiles (graph/stats.py) — computed
+    over the (degree, count) histogram, never a global sort of n values."""
+    from landscape_spark.graph.stats import degree_percentiles
+
+    return degree_percentiles(linkgraph.directed_edges(spark, sf_dir))
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation top-20 (graph/linkpred.py): pairs most often linked-to
     by the same page (Small 1973) — the related-page signal. Uncapped at
@@ -646,6 +654,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salsa": q_salsa,
     "host_quality": q_host_quality,
     "avg_neighbor_degree": q_avg_neighbor_degree,
+    "degree_percentiles": q_degree_percentiles,
     "triangle_count_sampled": q_triangle_sampled,
     "cocitation_topk": q_cocitation,
     "coupling_topk": q_coupling,
@@ -2049,6 +2058,14 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "sssp_weighted": _sssp_sql(),
     "seeded_lpa": _seeded_lpa_sql(),
     "salsa": _salsa_sql(),
+    "degree_percentiles": f"""
+WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
+dp_deg AS (SELECT dst, COUNT(*) AS deg FROM lg_edges GROUP BY dst),
+dp_hist AS (SELECT deg, COUNT(*) AS cnt FROM dp_deg GROUP BY deg),
+dp_cum AS (SELECT deg, SUM(cnt) OVER (ORDER BY deg) AS cum FROM dp_hist),
+dp_n AS (SELECT COUNT(*) AS n FROM dp_deg)
+SELECT CAST(0.25 AS DOUBLE) AS q, (SELECT MIN(deg) FROM dp_cum CROSS JOIN dp_n WHERE cum >= CEIL(0.25 * n)) AS value UNION ALL SELECT CAST(0.5 AS DOUBLE) AS q, (SELECT MIN(deg) FROM dp_cum CROSS JOIN dp_n WHERE cum >= CEIL(0.5 * n)) AS value UNION ALL SELECT CAST(0.75 AS DOUBLE) AS q, (SELECT MIN(deg) FROM dp_cum CROSS JOIN dp_n WHERE cum >= CEIL(0.75 * n)) AS value UNION ALL SELECT CAST(0.9 AS DOUBLE) AS q, (SELECT MIN(deg) FROM dp_cum CROSS JOIN dp_n WHERE cum >= CEIL(0.9 * n)) AS value UNION ALL SELECT CAST(0.99 AS DOUBLE) AS q, (SELECT MIN(deg) FROM dp_cum CROSS JOIN dp_n WHERE cum >= CEIL(0.99 * n)) AS value
+""",
     "triangle_count_sampled": f"""
 WITH {linkgraph.EDGES_CTE.strip().rstrip(',')},
 dl_sample AS MATERIALIZED (

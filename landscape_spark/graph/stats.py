@@ -183,7 +183,40 @@ def degree_powerlaw_alpha(edges: DataFrame, dmin: int = 3) -> DataFrame:
     )
 
 
-def avg_neighbor_degree(und_edges: DataFrame) -> DataFrame:
+def degree_percentiles(
+    edges: DataFrame, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """(q, value): exact discrete percentiles of the IN-degree
+    distribution over linked-to vertices (zero-in-degree pages carry no
+    row in the degree aggregate and are excluded — the convention of a
+    distribution over observed degrees; value = smallest degree d whose
+    cumulative vertex count reaches ceil(q * n), the lower/disc
+    convention, integer-exact on both engines, no interpolation).
+
+    Computed the scale-right way: NOT a global sort of n degree values —
+    the degree aggregate collapses to the (degree, n_vertices) histogram
+    first (at web scale a few thousand distinct degrees), and the
+    cumulative window walks THAT small table. One degree shuffle + one
+    histogram aggregate + a window over the tiny histogram."""
+    from pyspark.sql import Window
+
+    deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "deg", F.sum("cnt").over(w).alias("cum")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    out = None
+    for q in qs:
+        pick = (
+            cum.crossJoin(F.broadcast(n))
+            .where(F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n")))
+            .agg(F.min("deg").alias("value"))
+            .select(F.lit(float(q)).alias("q"), "value")
+        )
+        out = pick if out is None else out.unionAll(pick)
+    return out
     """(deg, n_vertices, knn): Pastor-Satorras degree-correlation curve —
     for each degree class k, the mean over degree-k vertices of their
     neighbors' mean degree. THE standard plot beside assortativity (web

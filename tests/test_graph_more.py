@@ -968,3 +968,21 @@ def test_betweenness_oracle_depth_is_noop(spark, sf_mid):
     a = sorted(con.execute(_betweenness_sql()).fetchall())
     b = sorted(con.execute(_betweenness_sql(depth=9)).fetchall())
     assert a == b
+
+
+def test_degree_percentiles_match_python(spark):
+    from landscape_spark.graph.stats import degree_percentiles
+
+    edges = _rand_digraph(37, 40, 200)
+    indeg = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    vals = sorted(indeg.values())
+    n = len(vals)
+    want = {}
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        k = math.ceil(q * n)
+        want[q] = vals[k - 1]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.q: r.value for r in degree_percentiles(e).collect()}
+    assert got == want
