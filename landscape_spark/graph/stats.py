@@ -217,6 +217,9 @@ def degree_percentiles(
         )
         out = pick if out is None else out.unionAll(pick)
     return out
+
+
+def avg_neighbor_degree(und_edges: DataFrame) -> DataFrame:
     """(deg, n_vertices, knn): Pastor-Satorras degree-correlation curve —
     for each degree class k, the mean over degree-k vertices of their
     neighbors' mean degree. THE standard plot beside assortativity (web
