@@ -8,6 +8,7 @@ by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -453,6 +454,30 @@ def q_term_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer round trip through the driver contract: derive the
+    edge table, WRITE it with the hash-bucketed partitioned writer
+    (sources.py — the persisted co-location layout; Iceberg spec at
+    deploy), read it back, and aggregate. Shares degree_distribution's
+    oracle, so the persisted bytes are hash-checked end to end."""
+    import tempfile
+
+    from landscape_spark import sources
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), "landscape_gate_edge_table"
+    )
+    sources.write_edge_table(e, path)
+    back = sources.read_edge_table(spark, path)
+    return (
+        back.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .groupBy("out_deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def q_degree_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete in-degree percentiles (graph/stats.py) — computed
     over the (degree, count) histogram, never a global sort of n values."""
@@ -655,6 +680,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_quality": q_host_quality,
     "avg_neighbor_degree": q_avg_neighbor_degree,
     "degree_percentiles": q_degree_percentiles,
+    "bucketed_roundtrip": q_bucketed_roundtrip,
     "triangle_count_sampled": q_triangle_sampled,
     "cocitation_topk": q_cocitation,
     "coupling_topk": q_coupling,
@@ -2171,6 +2197,10 @@ FROM (SELECT dst, COUNT(*) AS deg FROM lg_edges GROUP BY dst)
 WHERE deg >= {POWERLAW_DMIN}
 """,
 }
+
+# the storage round trip republishes the same aggregate over the persisted
+# bytes — hold it to degree_distribution's oracle
+GRAPH_ORACLES["bucketed_roundtrip"] = GRAPH_ORACLES["degree_distribution"]
 
 
 def _pii_scrub_oracle() -> str:
