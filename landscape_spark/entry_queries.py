@@ -564,6 +564,21 @@ def q_linkpred_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_lsh_topk(und, k=JACCARD_K)
 
 
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec walks (graph/walks.py node2vec_walks,
+    p=4 / q=1/4 — the exploration-biased setting): the KDD'16 sampling
+    strategy behind most production graph embeddings. Power-of-two p,q
+    make every weight exact in doubles, so the deterministic draw is
+    replayed bit-for-bit by the unrolled oracle."""
+    from landscape_spark.graph.walks import node2vec_walks
+
+    e = linkgraph.directed_edges(spark, sf_dir)
+    verts = linkgraph.vertices(spark, sf_dir)
+    return node2vec_walks(
+        e, verts, walk_len=WALK_LEN, walks_per_vertex=1, p=4.0, q=0.25
+    )
+
+
 def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest paths from the hub seeds (graph/traversal.py
     frontier Bellman–Ford) under the deterministic 1..5 link-cost law —
@@ -674,6 +689,7 @@ GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ktruss": q_ktruss,
     "random_walks": q_random_walks,
     "skipgram_pairs": q_skipgram_pairs,
+    "node2vec_walks": q_node2vec,
     "sssp_weighted": q_sssp_weighted,
     "seeded_lpa": q_seeded_lpa,
     "salsa": q_salsa,
@@ -1673,6 +1689,60 @@ def _eigen_sql(iters: int = HITS_ITERS) -> str:
     return f"WITH {ctes}\nSELECT v, ROUND(s, 6) AS eigen FROM ev{iters}"
 
 
+def _node2vec_sql(
+    walk_len: int = WALK_LEN, p: float = 4.0, q: float = 0.25
+) -> str:
+    """node2vec oracle: the deterministic second-order draw unrolled —
+    candidate weights (1/p return, 1 common, 1/q explore) cumulated in
+    dst order per walker, first candidate past u * total wins."""
+    from landscape_spark.graph.walks import H_MOD, H_STEP, H_V, H_WALK, N2V_ADD, WALK_SHIFT
+
+    inv_p = f"CAST({1.0 / p} AS DOUBLE)"
+    inv_q = f"CAST({1.0 / q} AS DOUBLE)"
+    parts = [
+        linkgraph.EDGES_CTE.strip().rstrip(","),
+        (
+            "n2s0 AS MATERIALIZED (SELECT v AS start_v,"
+            " CAST(0 AS BIGINT) AS walk, CAST(-1 AS BIGINT) AS prev, v"
+            " FROM lg_vertices)"
+        ),
+    ]
+    for t in range(1, walk_len + 1):
+        parts.append(
+            f"""n2c{t} AS MATERIALIZED (
+  SELECT s.start_v, s.walk, s.prev, s.v, e.dst AS w,
+         CASE WHEN e.dst = s.prev THEN {inv_p}
+              WHEN pe.src IS NOT NULL THEN CAST(1 AS DOUBLE)
+              ELSE {inv_q} END AS wt
+  FROM n2s{t - 1} s
+  JOIN lg_edges e ON e.src = s.v
+  LEFT JOIN lg_edges pe ON pe.src = s.prev AND pe.dst = e.dst
+)"""
+        )
+        parts.append(
+            f"""n2s{t} AS MATERIALIZED (
+  SELECT start_v, walk, v AS prev, w AS v FROM (
+    SELECT c.start_v, c.walk, c.v, c.w, c.wt,
+           SUM(c.wt) OVER (PARTITION BY c.start_v, c.walk ORDER BY c.w
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c.wt) OVER (PARTITION BY c.start_v, c.walk) AS tot,
+           CAST(((c.v % {H_MOD}) * {H_V} + {(t - 1) * H_STEP}
+                 + ((c.start_v * {WALK_SHIFT} + c.walk) % {H_MOD}) * {H_WALK}
+                 + {N2V_ADD}) % {H_MOD} AS DOUBLE) / {H_MOD} AS u
+    FROM n2c{t} c
+  )
+  WHERE u * tot < cum AND u * tot >= cum - wt
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        [f"SELECT start_v, walk, 0 AS step, v FROM n2s0"]
+        + [f"SELECT start_v, walk, {t} AS step, v FROM n2s{t}"
+           for t in range(1, walk_len + 1)]
+    )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\n{union}"
+
+
 def _sssp_sql(max_hops: int = SSSP_ORACLE_HOPS) -> str:
     """Weighted-SSSP oracle: bounded recursive walk accumulating the
     deterministic 1..5 edge-cost law, then MIN(d) per vertex (the
@@ -2081,6 +2151,7 @@ FROM lg_vertices lv LEFT JOIN per_v p ON p.v = lv.v
     "ktruss": _ktruss_sql(),
     "random_walks": _walks_sql(),
     "skipgram_pairs": _skipgram_sql(),
+    "node2vec_walks": _node2vec_sql(),
     "sssp_weighted": _sssp_sql(),
     "seeded_lpa": _seeded_lpa_sql(),
     "salsa": _salsa_sql(),

@@ -136,6 +136,132 @@ def random_walks(
     return out
 
 
+N2V_ADD = 777_767  # decouples the node2vec coin from the first-order hop law
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    vertices: DataFrame,
+    walk_len: int = 6,
+    walks_per_vertex: int = 1,
+    p: float = 4.0,
+    q: float = 0.25,
+) -> DataFrame:
+    """(start_v, walk, step, v): second-order node2vec walks (Grover &
+    Leskovec, KDD'16) — from edge (prev -> cur), the next hop w in
+    N_out(cur) is drawn with weight
+
+        1/p  if w == prev            (return)
+        1    if edge prev -> w exists (BFS-ish, stays in the neighborhood)
+        1/q  otherwise               (DFS-ish exploration)
+
+    The draw is deterministic: candidates sort by dst, the coin is the
+    public LCG fraction u = H(...)/P, and the hop is the first candidate
+    whose cumulative weight reaches u * total. ``p`` and ``q`` MUST be
+    powers of two (asserted): every weight and cumulative sum is then
+    EXACT in IEEE doubles, so the selection threshold compares
+    identically in Spark and the DuckDB oracle — the same
+    determinism-as-spec convention as the first-order walk. The first
+    hop has no prev (all candidates weigh 1/q -> uniform).
+
+    Plan per step: one frontier join against the cached dst-sorted
+    adjacency (fan-out = out-degree of the current vertex — bounded by
+    page size on web graphs, NOT the in-degree hub skew), one left join
+    against the edge set for the prev->w flag, and one per-walker window
+    (partitioned by the walker key, <= out-degree rows each) for the
+    cumulative draw. Lineage cut per step."""
+
+    def _pow2(x: float) -> bool:
+        from math import frexp
+
+        m, _ = frexp(x)
+        return m == 0.5
+
+    assert _pow2(float(p)) and _pow2(float(q)), "p and q must be powers of 2"
+    spark = edges.sparkSession
+    par = local_parallelism(spark)
+    adj = (
+        edges.select("src", "dst").repartition(par, "src").cache()
+    )
+    adj.count()
+    prev_edge = edges.select(
+        F.col("src").alias("prev"), F.col("dst").alias("w"), F.lit(1).alias("_cmn")
+    ).repartition(par, "prev").cache()
+    prev_edge.count()
+
+    state = vertices.select(
+        F.col("v").alias("start_v"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(walks_per_vertex) - 1))
+        ).alias("_wk"),
+    ).select(
+        "start_v",
+        F.col("_wk").cast("long").alias("walk"),
+        F.lit(0).alias("step"),
+        F.lit(-1).cast("long").alias("prev"),
+        F.col("start_v").alias("v"),
+    )
+    state = state.localCheckpoint(eager=True)
+    levels = [state.select("start_v", "walk", "step", "v")]
+    w_cum = Window.partitionBy("start_v", "walk").orderBy("w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy("start_v", "walk")
+    inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
+    for t in range(1, int(walk_len) + 1):
+        key = F.col("start_v") * F.lit(WALK_SHIFT) + F.col("walk")
+        u = (
+            (
+                (F.col("v") % F.lit(H_MOD)) * F.lit(H_V)
+                + F.lit((t - 1) * H_STEP)
+                + (key % F.lit(H_MOD)) * F.lit(H_WALK)
+                + F.lit(N2V_ADD)
+            )
+            % F.lit(H_MOD)
+        ).cast("double") / F.lit(float(H_MOD))
+        cand = (
+            state.join(adj, adj.src == state.v)
+            .select("start_v", "walk", "prev", "v", F.col("dst").alias("w"))
+            .join(prev_edge, on=["prev", "w"], how="left")
+            .select(
+                "start_v",
+                "walk",
+                "prev",
+                "v",
+                "w",
+                F.when(F.col("w") == F.col("prev"), F.lit(inv_p))
+                .when(F.col("_cmn").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(inv_q))
+                .alias("wt"),
+            )
+        )
+        picked = (
+            cand.withColumn("cum", F.sum("wt").over(w_cum))
+            .withColumn("tot", F.sum("wt").over(w_tot))
+            .withColumn("_u", u)
+            .where(
+                (F.col("_u") * F.col("tot") < F.col("cum"))
+                & (F.col("_u") * F.col("tot") >= F.col("cum") - F.col("wt"))
+            )
+        )
+        state = picked.select(
+            "start_v",
+            "walk",
+            F.lit(t).alias("step"),
+            F.col("v").alias("prev"),
+            F.col("w").alias("v"),
+        ).localCheckpoint(eager=True)
+        levels.append(state.select("start_v", "walk", "step", "v"))
+        if state.isEmpty():
+            break
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    adj.unpersist()
+    prev_edge.unpersist()
+    return out
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """(center, context, n_pairs): ordered co-occurrence counts within
     ``window`` positions along each walk — the positive-pair corpus for an

@@ -986,3 +986,83 @@ def test_degree_percentiles_match_python(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r.q: r.value for r in degree_percentiles(e).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order walks
+# ---------------------------------------------------------------------------
+
+def _n2v_py(edges, n, walk_len, wpv, p, q):
+    from landscape_spark.graph.walks import (
+        H_MOD, H_STEP, H_V, H_WALK, N2V_ADD, WALK_SHIFT,
+    )
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    eset = set(edges)
+    rows = []
+    for start in range(n):
+        for wk in range(wpv):
+            prev, v = -1, start
+            rows.append((start, wk, 0, v))
+            key = start * WALK_SHIFT + wk
+            for t in range(1, walk_len + 1):
+                cands = adj.get(v)
+                if not cands:
+                    break
+                wts = [
+                    (1.0 / p) if w == prev
+                    else 1.0 if (prev, w) in eset
+                    else (1.0 / q)
+                    for w in cands
+                ]
+                h = ((v % H_MOD) * H_V + (t - 1) * H_STEP
+                     + (key % H_MOD) * H_WALK + N2V_ADD) % H_MOD
+                tgt = (h / H_MOD) * sum(wts)
+                cum = 0.0
+                chosen = cands[-1]
+                for w, wt in zip(cands, wts):
+                    cum += wt
+                    if tgt < cum:
+                        chosen = w
+                        break
+                rows.append((start, wk, t, chosen))
+                prev, v = v, chosen
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed", [38, 39])
+def test_node2vec_matches_python(spark, seed):
+    from landscape_spark.graph.walks import node2vec_walks
+
+    n = 35
+    edges = _rand_digraph(seed, n, 110)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(map(tuple, node2vec_walks(e, _verts(spark, n), walk_len=5,
+                                           walks_per_vertex=2,
+                                           p=4.0, q=0.25).collect()))
+    assert got == _n2v_py(edges, n, 5, 2, 4.0, 0.25)
+
+
+def test_node2vec_return_bias_on_triangle(spark):
+    """On a directed 2-cycle 0<->1 with p tiny (strong return), the walk
+    ping-pongs deterministically: the only candidate IS the return."""
+    from landscape_spark.graph.walks import node2vec_walks
+
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = sorted(map(tuple, node2vec_walks(e, _verts(spark, 2), walk_len=3,
+                                           walks_per_vertex=1).collect()))
+    # walk from 0: 0,1,0,1 ; from 1: 1,0,1,0
+    assert got == [(0, 0, 0, 0), (0, 0, 1, 1), (0, 0, 2, 0), (0, 0, 3, 1),
+                   (1, 0, 0, 1), (1, 0, 1, 0), (1, 0, 2, 1), (1, 0, 3, 0)]
+
+
+def test_node2vec_rejects_non_power_of_two(spark):
+    from landscape_spark.graph.walks import node2vec_walks
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(AssertionError):
+        node2vec_walks(e, _verts(spark, 2), p=3.0)
