@@ -31,7 +31,11 @@ from landscape_spark.graph.triangles import (
     triangles_per_vertex,
 )
 from landscape_spark.graph.truss import edge_support, k_truss
-from landscape_spark.graph.walks import random_walks, skipgram_pairs
+from landscape_spark.graph.walks import (
+    node2vec_walks,
+    random_walks,
+    skipgram_pairs,
+)
 
 __all__ = [
     "adamic_adar_topk",
@@ -56,6 +60,7 @@ __all__ = [
     "katz_centrality",
     "label_propagation",
     "modularity",
+    "node2vec_walks",
     "pagerank",
     "personalized_pagerank",
     "random_walks",
