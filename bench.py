@@ -303,6 +303,13 @@ def main() -> None:
         2,
     )
 
+    from landscape_spark.graph.walks import node2vec_walks
+
+    queries["node2vec_walks"] = best_of(
+        lambda: node2vec_walks(e_dir, verts, walk_len=6, p=4.0, q=0.25).count(),
+        1,
+    )
+
     tri_box = [0]
     queries["triangle_count"] = best_of(
         lambda: tri_box.__setitem__(0, triangle_count(e_und).first()[0]), 2
