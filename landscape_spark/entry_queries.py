@@ -465,8 +465,11 @@ def q_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from landscape_spark import sources
 
     e = linkgraph.directed_edges(spark, sf_dir)
+    # per-run unique dir: a fixed path in the shared tmp dir races with a
+    # concurrent gate run on the same host (overwrite mid-read) and could
+    # follow a pre-existing attacker-created path in world-writable /tmp
     path = os.path.join(
-        tempfile.gettempdir(), "landscape_gate_edge_table"
+        tempfile.mkdtemp(prefix="landscape_gate_edge_table_"), "edges"
     )
     sources.write_edge_table(e, path)
     back = sources.read_edge_table(spark, path)

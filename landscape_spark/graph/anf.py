@@ -118,6 +118,8 @@ def neighborhood_function(
     edges: directed distinct (src, dst); vertices: (v). log2m: registers
     per counter (m = 2^log2m; relative error ~ 1.04/sqrt(m) per ball).
     """
+    from landscape_spark.session import local_parallelism
+
     spark = edges.sparkSession
     m = 1 << log2m
     reg_sum = F.aggregate(F.col("regs"), F.lit(0), lambda a, r: a + r)
@@ -130,6 +132,19 @@ def neighborhood_function(
         ).first()
         return row.cert, float(row.est)
 
+    # SELF-LOOP union: ball(v,h) = ball(v,h-1) ∪ ⋃_{v->w} ball(w,h-1), and
+    # max-merge is idempotent — so a (v,v) row folds the vertex's own
+    # registers into the SAME aggregate as its neighbors', making each hop
+    # ONE join + ONE aggregate instead of join + aggregate + n-row merge
+    # join (bit-identical registers). The relation is cached partitioned on
+    # the join key so per-hop only the state frame moves (guide §2.4).
+    p = local_parallelism(spark)
+    ep = (
+        edges.select("src", "dst")
+        .unionAll(vertices.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .repartition(p, "dst")
+        .cache()
+    )
     state = _init_registers(vertices, log2m, seed).localCheckpoint(eager=True)
     prev_cert, est0 = _round_stats(state)
     est = [(0, est0)]
@@ -137,22 +152,11 @@ def neighborhood_function(
         F.max(F.element_at(F.col("regs"), i + 1)).alias(f"_m{i}") for i in range(m)
     ]
     for h in range(1, max_h + 1):
-        nbr = (
-            edges.join(state.withColumnRenamed("v", "dst"), on="dst")
+        state = (
+            ep.join(state.withColumnRenamed("v", "dst"), on="dst")
             .groupBy(F.col("src").alias("v"))
             .agg(*elem_max)
-            .select("v", F.array(*[F.col(f"_m{i}") for i in range(m)]).alias("nregs"))
-        )
-        state = (
-            state.join(nbr, on="v", how="left")
-            .select(
-                "v",
-                F.when(
-                    F.col("nregs").isNull(), F.col("regs")
-                ).otherwise(
-                    F.zip_with("regs", "nregs", lambda a, b: F.greatest(a, b))
-                ).alias("regs"),
-            )
+            .select("v", F.array(*[F.col(f"_m{i}") for i in range(m)]).alias("regs"))
             .localCheckpoint(eager=True)
         )
         cert, est_h = _round_stats(state)
@@ -163,6 +167,7 @@ def neighborhood_function(
             est.pop()
             break
         prev_cert = cert
+    ep.unpersist()
     return spark.createDataFrame(
         [(h, round(v, 6)) for h, v in est], "h int, n_pairs_est double"
     )
@@ -230,10 +235,24 @@ def harmonic_centrality(
     fixpoint certificate, so the accumulation stops exactly when every
     in-ball is complete. Isolated / unreachable-from-everywhere vertices
     score ~0 (their ball never grows)."""
+    from landscape_spark.session import local_parallelism
+
     m = 1 << log2m
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     reg_sum = F.aggregate(F.col("regs"), F.lit(0), lambda a, r: a + r)
     est = _estimate_expr(m)
+    # reversed edges + SELF-LOOPS, cached partitioned on the join key (the
+    # neighborhood_function discipline): each hop is ONE join + ONE
+    # aggregate — the self row both folds the vertex's own registers into
+    # the max-merge (idempotent, bit-identical) and carries its running
+    # (prev_est, hc) accumulator through the SAME aggregate, replacing the
+    # old per-hop n-row merge join.
+    p = local_parallelism(edges.sparkSession)
+    ep = (
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .unionAll(vertices.select(F.col("v").alias("src"), F.col("v").alias("dst")))
+        .repartition(p, "dst")
+        .cache()
+    )
     state = (
         _init_registers(vertices, log2m, seed)
         .select("v", "regs", est.alias("prev_est"), F.lit(0.0).alias("hc"))
@@ -243,20 +262,20 @@ def harmonic_centrality(
     elem_max = [
         F.max(F.element_at(F.col("regs"), i + 1)).alias(f"_m{i}") for i in range(m)
     ]
+    self_row = F.col("dst") == F.col("src")
     for h in range(1, max_h + 1):
-        nbr = (
-            rev.join(state.select("v", "regs").withColumnRenamed("v", "dst"), on="dst")
-            .groupBy(F.col("src").alias("v"))
-            .agg(*elem_max)
-            .select("v", F.array(*[F.col(f"_m{i}") for i in range(m)]).alias("nregs"))
-        )
         merged = (
-            state.join(nbr, on="v", how="left")
+            ep.join(state.withColumnRenamed("v", "dst"), on="dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(
+                *elem_max,
+                # exactly one self row per group carries the accumulator
+                F.max(F.when(self_row, F.col("prev_est"))).alias("prev_est"),
+                F.max(F.when(self_row, F.col("hc"))).alias("hc"),
+            )
             .select(
                 "v",
-                F.when(F.col("nregs").isNull(), F.col("regs"))
-                .otherwise(F.zip_with("regs", "nregs", lambda a, b: F.greatest(a, b)))
-                .alias("regs"),
+                F.array(*[F.col(f"_m{i}") for i in range(m)]).alias("regs"),
                 "prev_est",
                 "hc",
             )
@@ -275,4 +294,5 @@ def harmonic_centrality(
         if cert == prev_cert:
             break
         prev_cert = cert
+    ep.unpersist()
     return state.select("v", F.round("hc", 6).alias("harmonic"))

@@ -72,9 +72,8 @@ def betweenness_sources(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        reached = reached.unionAll(nxt.select("s", "v")).localCheckpoint(
-            eager=True
-        )
+        # lazy union of checkpointed levels — no per-level copy/job
+        reached = reached.unionAll(nxt.select("s", "v"))
 
     # backward sweep: deepest level has no successors -> delta 0
     deltas = [None] * len(levels)

@@ -53,7 +53,8 @@ def _reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 512) -> DataF
         )
         if nxt.isEmpty():
             break
-        reached = reached.unionAll(nxt).localCheckpoint(eager=True)
+        # lazy union of checkpointed frontiers — no per-round copy/job
+        reached = reached.unionAll(nxt)
         frontier = nxt
     return reached
 
@@ -66,8 +67,21 @@ def bowtie_decomposition(
     """Return (v, region) with region in {CORE, IN, OUT, TUBE, TENDRIL,
     DISCONNECTED}. edges: directed (src, dst); und_edges: canonical
     (a, b) a < b of the same graph; vertices: (v)."""
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from concurrent.futures import ThreadPoolExecutor
+
+    from landscape_spark.session import local_parallelism
+
+    p = local_parallelism(edges.sparkSession)
     scc = strongly_connected_components(edges, vertices).localCheckpoint(eager=True)
+    # each orientation cached partitioned on the frontier-join key ONCE:
+    # the two sweeps per orientation then reuse the cached partitioning
+    # every round (only the frontier moves — guide §2.4)
+    e_fwd = edges.select("src", "dst").repartition(p, "src").cache()
+    e_bwd = (
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .repartition(p, "src")
+        .cache()
+    )
     core_comp = (
         scc.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -79,16 +93,27 @@ def bowtie_decomposition(
         .select("v")
         .localCheckpoint(eager=True)
     )
-    fwd = _reachable(edges, core)  # core + OUT
-    bwd = _reachable(rev, core)  # core + IN
-    in_set = bwd.join(core, on="v", how="left_anti").localCheckpoint(eager=True)
-    out_set = fwd.join(core, on="v", how="left_anti").localCheckpoint(eager=True)
-    # TUBE membership: reachable from IN and reaching OUT while outside
-    # core/IN/OUT. Seeds include IN/OUT themselves; the CASE order makes
-    # that harmless (IN/OUT/CORE win first).
-    from_in = _reachable(edges, in_set)
-    to_out = _reachable(rev, out_set)
-    weak = connected_components_exact(und_edges, vertices)
+    # the sweeps (and the weak-CC run) are mutually independent given their
+    # seeds — overlap them so one sweep's straggler tail back-fills with the
+    # next sweep's tasks (guide §2.6; results are unchanged)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_fwd = pool.submit(_reachable, e_fwd, core)  # core + OUT
+        fut_bwd = pool.submit(_reachable, e_bwd, core)  # core + IN
+        fut_weak = pool.submit(connected_components_exact, und_edges, vertices)
+        fwd = fut_fwd.result()
+        bwd = fut_bwd.result()
+        in_set = bwd.join(core, on="v", how="left_anti").localCheckpoint(eager=True)
+        out_set = fwd.join(core, on="v", how="left_anti").localCheckpoint(eager=True)
+        # TUBE membership: reachable from IN and reaching OUT while outside
+        # core/IN/OUT. Seeds include IN/OUT themselves; the CASE order makes
+        # that harmless (IN/OUT/CORE win first).
+        fut_from_in = pool.submit(_reachable, e_fwd, in_set)
+        fut_to_out = pool.submit(_reachable, e_bwd, out_set)
+        from_in = fut_from_in.result()
+        to_out = fut_to_out.result()
+        weak = fut_weak.result()
+    e_fwd.unpersist()
+    e_bwd.unpersist()
     core_weak = weak.join(core, on="v").select(
         F.col("comp").alias("core_wcomp")
     ).distinct()

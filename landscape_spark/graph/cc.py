@@ -51,7 +51,13 @@ def connected_components_exact(
     """
     import warnings
 
-    sym = symmetrize(und_edges)
+    # cache the symmetrized adjacency: each round's message join re-reads
+    # it, and for gate callers the underlying edge relation is a lazy
+    # scan + explode + distinct that would otherwise re-execute per round.
+    # Deliberately NO repartition — the label side broadcasts while small
+    # and the message fan-out is linear, so a pinned exchange only adds an
+    # up-front shuffle (measured +0.2s at sf0.1 for zero per-round gain).
+    sym = symmetrize(und_edges).cache()
     labels = vertices.select("v", F.col("v").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
@@ -88,4 +94,5 @@ def connected_components_exact(
             RuntimeWarning,
             stacklevel=2,
         )
+    sym.unpersist()  # labels are checkpointed — nothing below reads sym
     return labels

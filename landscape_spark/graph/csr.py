@@ -257,9 +257,6 @@ def build_blocked_csr(
         "src",
         "dst",
     )
-    # full-row out-degree per source, dense per src shard (computed once;
-    # joined into every (i, *) block below, aligned to that block's vids)
-    deg = keyed.groupBy("i", "src").agg(F.count(F.lit(1)).alias("d"))
     part = keyed.repartition(min(num_partitions, S * S), "i", "j")
 
     def pack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -305,37 +302,42 @@ def build_blocked_csr(
             names=["i", "j", "vids", "indptr", "indices"],
         )
 
-    blocks = part.mapInArrow(pack, "i int, j int, vids binary, indptr binary, indices binary")
+    # materialize the packed blocks ONCE (<= S*S compact rows): both the
+    # degree derivation and the gather join below read them, and an un-cut
+    # plan would re-run the m-row repartition + pack kernel per reference
+    blocks = part.mapInArrow(
+        pack, "i int, j int, vids binary, indptr binary, indices binary"
+    ).localCheckpoint(eager=True)
 
-    # align full-row degs to each block's vids: explode block vids is wrong
-    # (boxed rows); instead ship the per-shard dense degree array and gather
-    # in a kernel. The deg side is one array per src shard (width float64s).
+    # full-row out-degrees are derived FROM THE PACKED BLOCKS (per-block
+    # counts = diff(indptr) scatter-added across the j row) instead of a
+    # second groupBy over the raw m-row edge table — the deg side's shuffle
+    # is then <= S*S block summaries, not m edges (guide §2.3: shuffle
+    # metadata, not payload; the values are identical integers).
     def packdeg(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        iis, ss, ds = [], [], []
+        acc: dict[int, np.ndarray] = {}
         for b in batches:
-            iis.append(b.column("i").to_numpy(zero_copy_only=False))
-            ss.append(b.column("src").to_numpy(zero_copy_only=False))
-            ds.append(b.column("d").to_numpy(zero_copy_only=False))
-        if not iis:
-            return
-        ii = np.concatenate(iis).astype(np.int64)
-        src = np.concatenate(ss).astype(np.int64)
-        d = np.concatenate(ds).astype(np.float64)
-        for shard in np.unique(ii):
-            m = ii == shard
-            dense = np.zeros(width, dtype=np.float64)
-            dense[src[m] - int(shard) * width] = d[m]
+            cols = {name: b.column(name) for name in b.schema.names}
+            for row in range(b.num_rows):
+                shard = int(cols["i"][row].as_py())
+                vids = np.frombuffer(cols["vids"][row].as_py(), dtype=np.int64)
+                indptr = np.frombuffer(cols["indptr"][row].as_py(), dtype=np.int64)
+                dense = acc.get(shard)
+                if dense is None:
+                    dense = acc[shard] = np.zeros(width, dtype=np.float64)
+                dense[vids] += np.diff(indptr)
+        for shard, dense in acc.items():
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([int(shard)], type=pa.int32()),
+                    pa.array([shard], type=pa.int32()),
                     pa.array([dense.tobytes()], type=pa.binary()),
                 ],
                 names=["i", "deg_dense"],
             )
 
-    deg_blocks = deg.repartition(min(num_partitions, S), "i").mapInArrow(
-        packdeg, "i int, deg_dense binary"
-    )
+    deg_blocks = blocks.select("i", "vids", "indptr").repartition(
+        min(num_partitions, S), "i"
+    ).mapInArrow(packdeg, "i int, deg_dense binary")
 
     def gather(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -407,7 +409,12 @@ def pagerank_csr_blocked(
         blocks, deg_rows = build_blocked_csr(edges, n, S, num_partitions)
     else:
         blocks, deg_rows = blocks
-    blocks = blocks.persist()
+    # cache the static block table PRE-PARTITIONED ON THE JOIN KEY: the
+    # per-iteration rank join then reuses the cached partitioning and only
+    # the S rank-shard rows shuffle — an unpartitioned cache moved (or
+    # broadcast-collected) the whole packed graph on EVERY iteration.
+    p_i = min(num_partitions, S)
+    blocks = blocks.repartition(p_i, "i").persist()
     blocks.count()  # materialize the static side once
     deg_rows = deg_rows.persist()
     deg_rows.count()
@@ -511,7 +518,15 @@ def pagerank_csr_blocked(
             .mapInArrow(dang_fold, "d double")
             .agg(F.coalesce(F.sum("d"), F.lit(0.0)).alias("_dang"))
         )
-        partials = blocks.join(ranks, on="i").mapInArrow(spmv, "j int, p binary")
+        # shuffle-hash hint on the RANK side: build the tiny rank-shard hash
+        # table per partition and stream the cached blocks through it —
+        # never broadcast-collect the block table (its size estimate sits
+        # under the threshold at bench scale, but a broadcast would collect
+        # the whole packed graph to the driver each iteration and is exactly
+        # what the sharded path exists to avoid at n > 10^8)
+        partials = blocks.join(ranks.hint("shuffle_hash"), on="i").mapInArrow(
+            spmv, "j int, p binary"
+        )
         # every shard must emit a row even with no inbound edges: union a
         # zero partial per shard (tiny — S rows)
         zeros = ranks.select(F.col("i").alias("j"), F.lit(zero).alias("p"))
@@ -522,6 +537,9 @@ def pagerank_csr_blocked(
             .mapInArrow(update, "i int, r binary")
             .localCheckpoint(eager=True)
         )
+
+    blocks.unpersist()  # the repartitioned copy; ranks are checkpointed
+    deg_rows.unpersist()
 
     def emit(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:

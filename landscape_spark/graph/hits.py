@@ -60,36 +60,42 @@ def hits(
     auth = hubs
 
     def _half_step(e: DataFrame, key: str, out: str, scores: DataFrame) -> DataFrame:
-        # raw(v) = sum of the other side's scores over edges incident at v
+        # raw(v) = sum of the other side's scores over edges incident at v.
+        # CHECKPOINTED before the norm: the 1-row L1 norm is a broadcast
+        # subquery Catalyst does not exchange-dedup against the main side,
+        # so an un-cut raw would execute its join+aggregate TWICE per
+        # half-step (once under the norm, once under the division).
         raw = (
             e.join(scores, F.col(key) == scores.v)
             .select(F.col(out).alias("v"), F.col("s").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)
         )
         norm = raw.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("_n"))
-        return (
-            vertices.join(raw, on="v", how="left")
-            .crossJoin(F.broadcast(norm))
-            .select(
-                "v",
-                F.when(
-                    F.col("_n") > 0,
-                    F.coalesce(F.col("c"), F.lit(0.0)) / F.col("_n"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("s"),
-            )
+        # vertices with no incident edge on this orientation never appear in
+        # raw; their score is implicitly 0 — the next half-step's join drops
+        # them anyway, so the O(n) vertex left-join stays OUT of the loop
+        # and runs once on the final projection below.
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "v",
+            F.when(F.col("_n") > 0, F.col("c") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
         )
 
     for _ in range(iters):
-        auth = _half_step(e_src, "src", "dst", hubs).localCheckpoint(eager=True)
-        hubs = _half_step(e_dst, "dst", "src", auth).localCheckpoint(eager=True)
+        auth = _half_step(e_src, "src", "dst", hubs)
+        hubs = _half_step(e_dst, "dst", "src", auth)
 
     out = (
-        auth.select("v", F.col("s").alias("authority"))
-        .join(hubs.select("v", F.col("s").alias("hub")), on="v")
-        .select("v", "authority", "hub")
+        vertices.join(auth.select("v", F.col("s").alias("authority")), on="v", how="left")
+        .join(hubs.select("v", F.col("s").alias("hub")), on="v", how="left")
+        .select(
+            "v",
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
     )
     e_src.unpersist()
     e_dst.unpersist()

@@ -71,6 +71,7 @@ def katz_centrality(
             )
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return x.select("v", F.col("x").alias("katz"))
 
 

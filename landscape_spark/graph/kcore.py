@@ -72,17 +72,43 @@ def coreness(
     """
     import warnings
 
-    sym = symmetrize(und_edges)
-    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("h"))
+    from landscape_spark.session import local_parallelism
+
+    w = Window.partitionBy("v").orderBy(F.desc("hw"))
+    # adjacency materialized once, partitioned on the MESSAGE key (w): each
+    # round's join then reuses the cached partitioning and only the
+    # vertex-sized state frame moves (guide §2.4)
+    sym = symmetrize(und_edges).repartition(
+        local_parallelism(und_edges.sparkSession), "w"
+    ).cache()
+    # the loop runs over edge-incident vertices only — every such vertex
+    # receives >= 1 message per round, so the aggregate's domain is stable
+    # and the per-round O(n) vertices left-join stays OUT of the loop;
+    # isolated vertices are constant core 0 and rejoin in the final select
+    # (the global cert sum is unchanged: isolated vertices contribute 0).
     state = (
-        vertices.join(deg, on="v", how="left")
-        .select("v", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+        sym.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
         .localCheckpoint(eager=True)
     )
     prev_sum = state.agg(F.sum("h")).first()[0]
     converged = False
     for _ in range(max_iter):
-        state = h_round(sym, state, vertices).localCheckpoint(eager=True)
+        msgs = sym.join(
+            state.select(F.col("v").alias("w"), F.col("h").alias("hw")), on="w"
+        ).select("v", "hw")
+        state = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            # hw desc-sorted, rn ascending: hw >= rn is prefix-closed, so
+            # the max satisfying rank IS the H-index of the neighbor values
+            .groupBy("v")
+            .agg(
+                F.max(
+                    F.when(F.col("hw") >= F.col("rn"), F.col("rn")).otherwise(0)
+                ).cast("long").alias("h")
+            )
+            .localCheckpoint(eager=True)
+        )
         cur_sum = state.agg(F.sum("h")).first()[0]
         if cur_sum == prev_sum:
             converged = True
@@ -96,7 +122,10 @@ def coreness(
             RuntimeWarning,
             stacklevel=2,
         )
-    return state.select("v", F.col("h").alias("core"))
+    sym.unpersist()  # state is checkpointed
+    return vertices.join(state, on="v", how="left").select(
+        "v", F.coalesce("h", F.lit(0)).cast("long").alias("core")
+    )
 
 
 def k_core(

@@ -46,21 +46,33 @@ def adamic_adar_topk(
     (deg z >= 2 always holds for a shared neighbor, so ln(deg z) > 0).
     max_wedge_degree drops wedges whose CENTER degree exceeds the cap
     (the 100TB hub knob; None = exact).
+
+    NOTE deliberately NOT co-partitioned on the center v: the wedge join's
+    fan-out is QUADRATIC through a hub (C(D,2) rows), so pinning the join
+    to hashpartitioning(v) would serialize each hub's entire wedge set into
+    one task (measured 2x slower at sf0.1) — the broadcast/AQE-planned join
+    keeps hub wedges spread across the probe side's even partitions.
     """
     sym = symmetrize(und_edges)
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     centers = sym.join(deg, on="v")
     if max_wedge_degree is not None:
         centers = centers.where(F.col("deg") <= F.lit(int(max_wedge_degree)))
-    left = centers.select("v", F.col("w").alias("a"), "deg")
-    right = centers.select("v", F.col("w").alias("b"))
+    # 1/ln(deg) evaluated once per WEDGE SIDE, not once per wedge row —
+    # the sum over candidate pairs adds the identical IEEE values
+    left = centers.select(
+        "v", F.col("w").alias("a"), (1.0 / F.log("deg")).alias("_il")
+    )
+    # the equi-join on the center v already restricts the right side to
+    # centers surviving the cap — no second degree decoration needed
+    right = sym.select("v", F.col("w").alias("b"))
     pairs = (
         left.join(right, on="v")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).alias("common_cnt"),
-            F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa_score"),
+            F.round(F.sum("_il"), 6).alias("aa_score"),
         )
     )
     cand = pairs.join(und_edges, on=["a", "b"], how="left_anti")
@@ -86,7 +98,8 @@ def jaccard_topk(
     the surviving candidate pairs (|N(a) ∪ N(b)| = deg a + deg b − common).
     Ranking is on the ROUNDED score with (a, b) tie-break — the sort key IS
     the published value. ``max_wedge_degree`` caps the wedge CENTER degree
-    (100TB hub knob; None = exact)."""
+    (100TB hub knob; None = exact). Like adamic_adar_topk, deliberately not
+    co-partitioned on v (hub wedge fan-out is quadratic)."""
     sym = symmetrize(und_edges)
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
     centers = sym
@@ -97,7 +110,8 @@ def jaccard_topk(
             how="left_semi",
         )
     left = centers.select("v", F.col("w").alias("a"))
-    right = centers.select("v", F.col("w").alias("b"))
+    # cap (if any) already enforced through the equi-join on v by the left side
+    right = sym.select("v", F.col("w").alias("b"))
     pairs = (
         left.join(right, on="v")
         .where(F.col("a") < F.col("b"))

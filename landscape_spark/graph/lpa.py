@@ -36,7 +36,10 @@ def label_propagation(
     label table is the loop's entire cross-iteration state, so a resumed
     run equals an uninterrupted one exactly (labels are integers)."""
     spark = und_edges.sparkSession
-    sym = symmetrize(und_edges)
+    # cached (no repartition — labels broadcast while small, fan-out is
+    # linear): rounds re-read the adjacency without re-deriving the
+    # caller's edge plan (see connected_components_exact)
+    sym = symmetrize(und_edges).cache()
     if start_labels is not None:
         labels = start_labels.select("v", "label").localCheckpoint(eager=True)
     else:
@@ -72,6 +75,7 @@ def label_propagation(
                 state={"iteration": _it + 1, "iters_total": iters},
                 metrics={},
             )
+    sym.unpersist()  # labels are checkpointed
     return labels
 
 
@@ -97,7 +101,7 @@ def seeded_label_propagation(
     seeds = seed_labels.select(
         "v", F.col("label").alias("seed_label")
     ).localCheckpoint(eager=True)
-    sym = symmetrize(und_edges)
+    sym = symmetrize(und_edges).cache()
     labels = (
         vertices.join(seeds, on="v", how="left")
         .select("v", F.col("seed_label").alias("label"))
@@ -128,6 +132,7 @@ def seeded_label_propagation(
             )
             .localCheckpoint(eager=True)
         )
+    sym.unpersist()  # labels are checkpointed
     return labels
 
 

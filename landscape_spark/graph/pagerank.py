@@ -88,7 +88,7 @@ def pagerank(
     """
     n = float(n_vertices)
     spark = edges.sparkSession
-    num_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    num_part = local_parallelism(spark)
     if weight_col is None:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
         ew_cols = ["src", "dst", "out_deg"]

@@ -19,9 +19,13 @@ the walkable side (authorities = vertices with in-links, hubs = vertices
 with out-links); unreachable vertices hold score 0.
 
 Plan discipline mirrors graph/hits.py: the degree-decorated edge
-relation is repartitioned + cached once per orientation; each half-step
-is one hash join + one map-side-combined aggregate (one real shuffle),
-no vertex-sized broadcast, lineage cut per iteration.
+relation is repartitioned + cached once per orientation (each copy
+pruned to the 3 columns its half-steps read), so every half-step is one
+hash join against a cached partitioning + one map-side-combined
+aggregate (one real shuffle), no vertex-sized broadcast, lineage cut per
+iteration — and the two independent walks run as overlapped concurrent
+jobs (guide §2.6) so one walk's straggler tail back-fills with the
+other's tasks.
 """
 
 from __future__ import annotations
@@ -40,32 +44,37 @@ def salsa(
     """Return (v, authority, hub) after ``iters`` full SALSA walk steps.
 
     edges: directed distinct (src, dst); vertices: (v)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = edges.sparkSession
     p = local_parallelism(spark)
     indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = (
-        edges.join(indeg, on="dst")
-        .join(outdeg, on="src")
-        .select("src", "dst", "indeg", "outdeg")
-        .repartition(p, "src")
-        .cache()
-    )
-    ew.count()
+    ew = edges.join(indeg, on="dst").join(outdeg, on="src")
+    # TWO orientation-pruned cached copies (the hits.py discipline): every
+    # half-step's join key then matches the big side's cached partitioning,
+    # so only the vertex-sized score frame shuffles per half-step — the
+    # single src-partitioned copy forced a full edge re-shuffle on every
+    # dst-keyed half-step (10 per walk). Each copy carries only the 3
+    # columns its half-steps read (project before the exchange, guide §2.3).
+    ew_dst = ew.select("dst", "src", "indeg").repartition(p, "dst").cache()
+    ew_src = ew.select("src", "dst", "outdeg").repartition(p, "src").cache()
+    ew_dst.count()
+    ew_src.count()
 
-    def _walk(score_key: str, back_key: str, back_deg: str, fwd_deg: str):
+    def _walk(score_e, score_key: str, back_e, back_key: str,
+              back_deg: str, fwd_deg: str):
         """One conserved two-hop walk iterated ``iters`` times; returns the
-        final score frame (v, s) over the walkable side."""
-        side = (
-            ew.select(F.col(score_key).alias("v")).distinct()
-        )
+        final score frame (v, s) over the walkable side. score_e is
+        partitioned on score_key, back_e on back_key."""
+        side = score_e.select(F.col(score_key).alias("v")).distinct()
         n_side = side.count()
         s = side.select(
             "v", F.lit(1.0 / float(n_side)).alias("s")
         ).localCheckpoint(eager=True)
         for _ in range(iters):
             back = (
-                ew.join(s, ew[score_key] == s.v)
+                score_e.join(s, score_e[score_key] == s.v)
                 .select(
                     F.col(back_key).alias("u"),
                     (F.col("s") / F.col(back_deg)).alias("c"),
@@ -74,7 +83,7 @@ def salsa(
                 .agg(F.sum("c").alias("b"))
             )
             s = (
-                ew.join(back, ew[back_key] == back.u)
+                back_e.join(back, back_e[back_key] == back.u)
                 .select(
                     F.col(score_key).alias("v"),
                     (F.col("b") / F.col(fwd_deg)).alias("c"),
@@ -85,8 +94,18 @@ def salsa(
             )
         return s
 
-    auth = _walk("dst", "src", "indeg", "outdeg")
-    hub = _walk("src", "dst", "outdeg", "indeg")
+    # the two walks are independent: overlap them so the second walk's tasks
+    # back-fill executors freed by the first walk's stragglers (guide §2.6;
+    # job descriptions and results are per-thread, values unchanged)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_auth = pool.submit(
+            _walk, ew_dst, "dst", ew_src, "src", "indeg", "outdeg"
+        )
+        fut_hub = pool.submit(
+            _walk, ew_src, "src", ew_dst, "dst", "outdeg", "indeg"
+        )
+        auth = fut_auth.result()
+        hub = fut_hub.result()
     out = (
         vertices.join(auth.select("v", F.col("s").alias("authority")), on="v", how="left")
         .join(hub.select("v", F.col("s").alias("hub")), on="v", how="left")
@@ -96,5 +115,6 @@ def salsa(
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
         )
     )
-    ew.unpersist()
+    ew_dst.unpersist()
+    ew_src.unpersist()
     return out

@@ -61,6 +61,9 @@ def strongly_connected_components(
     the undirected CC operators). edges: (src, dst); vertices: (v)."""
     import warnings
 
+    from landscape_spark.session import local_parallelism
+
+    p = local_parallelism(edges.sparkSession)
     remaining = _checkpoint(vertices.select("v"))
     edges_rem = _checkpoint(edges.select("src", "dst"))
     assigned: list[DataFrame] = []
@@ -68,24 +71,40 @@ def strongly_connected_components(
     for _outer in range(max_outer):
         # --- 1. trim singleton SCCs (in-deg 0 or out-deg 0) to fixpoint ---
         while True:
-            has_out = edges_rem.select(F.col("src").alias("v")).distinct()
-            has_in = edges_rem.select(F.col("dst").alias("v")).distinct()
-            keep = _checkpoint(
-                remaining.join(has_out, on="v", how="left_semi").join(
-                    has_in, on="v", how="left_semi"
+            # one endpoint-flag aggregate replaces the two distinct passes:
+            # a vertex survives iff it occurs as BOTH a src and a dst
+            keep_v = (
+                edges_rem.select(F.col("src").alias("v"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .unionAll(
+                    edges_rem.select(F.col("dst").alias("v"), F.lit(0).alias("o"), F.lit(1).alias("i"))
                 )
+                .groupBy("v")
+                .agg(F.max("o").alias("o"), F.max("i").alias("i"))
+                .where((F.col("o") == 1) & (F.col("i") == 1))
+                .select("v")
             )
+            keep = _checkpoint(remaining.join(keep_v, on="v", how="left_semi"))
             trimmed = _checkpoint(remaining.join(keep, on="v", how="left_anti"))
             if trimmed.isEmpty():
                 break
             assigned.append(trimmed.select("v", F.col("v").alias("comp")))
             remaining = keep
+            # shrink against the (typically small) TRIMMED set — an
+            # anti-join Catalyst broadcasts when it fits, instead of two
+            # semi-joins against the n-sized keep set
             edges_rem = _checkpoint(
-                edges_rem.join(keep.withColumnRenamed("v", "src"), on="src", how="left_semi")
-                .join(keep.withColumnRenamed("v", "dst"), on="dst", how="left_semi")
+                edges_rem.join(
+                    trimmed.withColumnRenamed("v", "src"), on="src", how="left_anti"
+                ).join(trimmed.withColumnRenamed("v", "dst"), on="dst", how="left_anti")
             )
         if remaining.isEmpty():
             break
+
+        # orientation-partitioned cached copies for the label loops below:
+        # each inner round's join then reuses the cached partitioning, so
+        # only the vertex-sized color/frontier frame moves per round
+        e_src = edges_rem.repartition(p, "src").cache()
+        e_dst = edges_rem.repartition(p, "dst").cache()
 
         # --- 2. forward coloring: color(v) = min id reaching v ---
         colors = _checkpoint(remaining.select("v", F.col("v").alias("color")))
@@ -93,7 +112,7 @@ def strongly_connected_components(
         colors_converged = False
         for _ in range(max_label_iter):
             msgs = (
-                edges_rem.join(
+                e_src.join(
                     colors.withColumnRenamed("v", "src"), on="src"
                 )
                 .select(F.col("dst").alias("v"), "color")
@@ -112,6 +131,8 @@ def strongly_connected_components(
         if not colors_converged:
             # un-converged colors make the backward mark under-approximate
             # SCCs — not a silent wrong answer we are willing to return
+            e_src.unpersist()
+            e_dst.unpersist()
             raise RuntimeError(
                 f"SCC forward coloring did not converge within "
                 f"{max_label_iter} rounds; raise max_label_iter"
@@ -126,7 +147,7 @@ def strongly_connected_components(
         frontier = marked
         while True:
             cand = (
-                edges_rem.join(frontier.withColumnRenamed("v", "dst"), on="dst")
+                e_dst.join(frontier.withColumnRenamed("v", "dst"), on="dst")
                 .select(F.col("src").alias("v"), "comp")
                 .join(colors, on="v")
                 .where(F.col("color") == F.col("comp"))
@@ -138,8 +159,11 @@ def strongly_connected_components(
             )
             if new.isEmpty():
                 break
-            marked = _checkpoint(marked.unionAll(new))
+            # lazy union of checkpointed mark waves — no per-round copy/job
+            marked = marked.unionAll(new)
             frontier = new
+        e_src.unpersist()
+        e_dst.unpersist()
 
         # --- 4. assign the SCCs found this round and shrink the graph ---
         assigned.append(marked)
@@ -148,10 +172,12 @@ def strongly_connected_components(
         )
         if remaining.isEmpty():
             break
+        # shrink against the small marked set (broadcastable), not the
+        # n-sized remaining set — same anti-join trick as the trim
         edges_rem = _checkpoint(
             edges_rem.join(
-                remaining.withColumnRenamed("v", "src"), on="src", how="left_semi"
-            ).join(remaining.withColumnRenamed("v", "dst"), on="dst", how="left_semi")
+                marked.select(F.col("v").alias("src")), on="src", how="left_anti"
+            ).join(marked.select(F.col("v").alias("dst")), on="dst", how="left_anti")
         )
     else:
         warnings.warn(

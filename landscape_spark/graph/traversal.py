@@ -65,7 +65,10 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        # lazy union of the (already-checkpointed) level frames: the old
+        # per-round re-checkpoint copied the whole accumulated table AND
+        # paid one extra job every round for rows that never change
+        dist = dist.unionAll(nxt)
         frontier = nxt.select("v")
     return dist
 

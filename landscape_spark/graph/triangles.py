@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 
 def _oriented_by_degree(und_edges: DataFrame) -> DataFrame:
-    """Orient canonical (a,b) edges low-(degree,id) -> high-(degree,id)."""
+    """Orient canonical (a,b) edges low-(degree,id) -> high-(degree,id).
+
+    Deliberately NOT pinned to a hash partitioning on u: the enumeration's
+    joins broadcast the oriented relation while it fits (zero exchange,
+    measured 4x faster at sf0.1 than a forced co-partitioned sort-merge),
+    and at scale AQE plans the join from runtime sizes."""
     deg = (
         und_edges.select(F.col("a").alias("v"))
         .unionAll(und_edges.select(F.col("b").alias("v")))

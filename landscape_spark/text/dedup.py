@@ -410,6 +410,9 @@ def minhash_lsh_dedup(
         .select("doc_lo", "doc_hi")
         .localCheckpoint(eager=True)  # reused twice below; tiny
     )
+    # signatures are consumed entirely by the (now-materialized) screen —
+    # release the cache instead of pinning it until session end
+    sigs.unpersist()
     # fetch shingle sets ONLY for docs that survived screening (semi-join
     # pushdown: at scale the near-threshold docs are a sliver of the corpus)
     cand_docs = (

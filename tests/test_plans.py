@@ -165,20 +165,32 @@ def test_pagerank_iteration_has_no_vertex_sized_broadcast(spark, sf_small):
 def test_hits_and_ppr_no_vertex_sized_broadcast(spark, sf_small):
     """HITS and personalized PageRank reuse the pagerank join-path shape:
     the only broadcast per half-step/iteration is the 1-row norm/dangling
-    aggregate — never an O(n) identity broadcast."""
+    aggregate — never an O(n) identity broadcast. Since r6 the final HITS
+    half-steps stay LAZY (their L1-norm folds are visible in the returned
+    plan as 1-row nested-loop crossJoins — the tfidf_topk-pinned scalar
+    fold pattern), so the pin asserts the nested-loop joins are exactly
+    the two norm folds and each builds from a 1-row aggregate, not a
+    vertex-table scan."""
     from landscape_spark.graph.hits import hits
     from landscape_spark.graph.pagerank import personalized_pagerank
 
     e = linkgraph.directed_edges(spark, sf_small)
     n = linkgraph.num_vertices(spark, sf_small)
     verts = linkgraph.vertices(spark, sf_small)
-    for df in (
-        hits(e, verts, n, iters=1),
-        personalized_pagerank(e, verts, n, seeds=[0, 1], iters=1),
-    ):
-        plan = _plan(df)
-        assert "IdentityBroadcastMode" not in plan, plan
-        assert "CartesianProduct" not in plan, plan
+    plan = _plan(hits(e, verts, n, iters=1))
+    assert "CartesianProduct" not in plan, plan
+    # one lazy norm fold per side (authority + hub) and nothing else
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # every broadcast side in the plan is an aggregate (the 1-row norm),
+    # never a bare vertex-table scan: a BroadcastExchange whose immediate
+    # child is a Scan/Range would be the round-2 O(n)-broadcast bug class
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n\s+\+- (\w+)", plan):
+        assert m.group(1) in {"HashAggregate", "SortAggregate"}, plan
+    ppr = _plan(personalized_pagerank(e, verts, n, seeds=[0, 1], iters=1))
+    assert "IdentityBroadcastMode" not in ppr, ppr
+    assert "CartesianProduct" not in ppr, ppr
 
 
 def test_tfidf_window_is_per_document(spark, sf_small):
