@@ -28,9 +28,11 @@ and partitionings (max-merge is commutative/associative/idempotent).
 The gate is rows-only all the same (no DuckDB xxhash64 twin), with
 accuracy property-tested against exact BFS ball sizes instead.
 
-Scale notes per round: one shuffle joining sketch state to edges on dst,
-one aggregate on src (the element-wise max compiles to m JVM max
-aggregates — no UDF, no explode), one join back to vertices. Registers
+Scale notes per round: one shuffle joining sketch state to the cached
+dst-partitioned edge+SELF-LOOP relation, one aggregate on src (the
+element-wise max compiles to m JVM max aggregates — no UDF, no explode);
+the self-loop rows fold each vertex's own registers through the same
+idempotent max-merge, so there is no separate state-merge join. Registers
 are monotone non-decreasing, so the integer SUM of all registers is a
 strictly-increasing-until-fixpoint convergence certificate (the kcore.py
 trick); at the fixpoint N(h) = N(inf) exactly (the sketches stop

@@ -72,28 +72,28 @@ def betweenness_sources(
         if nxt.isEmpty():
             break
         levels.append(nxt)
-        # lazy union of checkpointed levels — no per-level copy/job
-        reached = reached.unionAll(nxt.select("s", "v"))
+        reached = reached.unionAll(nxt.select("s", "v")).localCheckpoint(
+            eager=True
+        )
 
-    # backward sweep: deepest level has no successors -> delta 0
+    # backward sweep: deepest level has no successors -> delta 0. The
+    # successor state carries (sigma, delta) in ONE frame, so each level
+    # pays a single (s, w)-keyed join against it instead of two.
     deltas = [None] * len(levels)
     deltas[-1] = levels[-1].select(
-        "s", "v", F.lit(0.0).alias("delta")
+        "s", "v", "sigma", F.lit(0.0).alias("delta")
     ).localCheckpoint(eager=True)
     for t in range(len(levels) - 2, -1, -1):
-        cur, succ, succ_d = levels[t], levels[t + 1], deltas[t + 1]
+        cur, succ_sd = levels[t], deltas[t + 1]
         contrib = (
             cur.join(e, e.src == cur.v)
             .select("s", "v", "sigma", F.col("dst").alias("w"))
             .join(
-                succ.select(
-                    "s", F.col("v").alias("w"), F.col("sigma").alias("wsig")
-                ),
-                on=["s", "w"],
-            )
-            .join(
-                succ_d.select(
-                    "s", F.col("v").alias("w"), F.col("delta").alias("wdelta")
+                succ_sd.select(
+                    "s",
+                    F.col("v").alias("w"),
+                    F.col("sigma").alias("wsig"),
+                    F.col("delta").alias("wdelta"),
                 ),
                 on=["s", "w"],
             )
@@ -106,9 +106,11 @@ def betweenness_sources(
             )
         )
         deltas[t] = (
-            cur.select("s", "v")
+            cur.select("s", "v", "sigma")
             .join(contrib, on=["s", "v"], how="left")
-            .select("s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .select(
+                "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
             .localCheckpoint(eager=True)
         )
 

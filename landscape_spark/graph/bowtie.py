@@ -53,8 +53,7 @@ def _reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 512) -> DataF
         )
         if nxt.isEmpty():
             break
-        # lazy union of checkpointed frontiers — no per-round copy/job
-        reached = reached.unionAll(nxt)
+        reached = reached.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return reached
 

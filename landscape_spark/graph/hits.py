@@ -24,9 +24,16 @@ Scale design mirrors pagerank.py's join path:
 * The L1 norm is a 1-row aggregate folded in as a broadcast crossJoin —
   no driver collect, no O(n) broadcast anywhere in the loop (the same
   1-row-DF pattern as pagerank's dangling mass).
-* Lineage is cut with one eager action per iteration: each half-step
-  references the previous score table twice (contribution join + norm
-  scan), so an un-cut loop would double the logical plan per half-step.
+* Lineage is cut by checkpointing each half-step's RAW contribution
+  aggregate (one eager action per half-step). The cut sits BEFORE the norm
+  on purpose: the norm is a broadcast scalar subquery Catalyst does not
+  exchange-dedup against the main side, so cutting after the division (the
+  r5 shape) executed every half-step's join+aggregate twice — once under
+  the norm, once under the division (measured 1.7x the half-step cost).
+* The O(n) vertex frame is joined ONCE, in the final projection — a vertex
+  absent from a half-step's aggregate has score exactly 0.0 and contributes
+  nothing to the next join, so keeping it out of the loop is bit-identical
+  (IEEE x + 0.0 == x).
 """
 
 from __future__ import annotations

@@ -61,9 +61,6 @@ def strongly_connected_components(
     the undirected CC operators). edges: (src, dst); vertices: (v)."""
     import warnings
 
-    from landscape_spark.session import local_parallelism
-
-    p = local_parallelism(edges.sparkSession)
     remaining = _checkpoint(vertices.select("v"))
     edges_rem = _checkpoint(edges.select("src", "dst"))
     assigned: list[DataFrame] = []
@@ -100,11 +97,12 @@ def strongly_connected_components(
         if remaining.isEmpty():
             break
 
-        # orientation-partitioned cached copies for the label loops below:
-        # each inner round's join then reuses the cached partitioning, so
-        # only the vertex-sized color/frontier frame moves per round
-        e_src = edges_rem.repartition(p, "src").cache()
-        e_dst = edges_rem.repartition(p, "dst").cache()
+        # NOTE measured, kept plain: materializing orientation-partitioned
+        # cached copies of edges_rem per outer round benched +10% at sf0.1
+        # — the color/frontier side broadcasts while it fits, so the two
+        # cache-building exchanges bought nothing per inner round
+        e_src = edges_rem
+        e_dst = edges_rem
 
         # --- 2. forward coloring: color(v) = min id reaching v ---
         colors = _checkpoint(remaining.select("v", F.col("v").alias("color")))
@@ -131,8 +129,6 @@ def strongly_connected_components(
         if not colors_converged:
             # un-converged colors make the backward mark under-approximate
             # SCCs — not a silent wrong answer we are willing to return
-            e_src.unpersist()
-            e_dst.unpersist()
             raise RuntimeError(
                 f"SCC forward coloring did not converge within "
                 f"{max_label_iter} rounds; raise max_label_iter"
@@ -159,11 +155,8 @@ def strongly_connected_components(
             )
             if new.isEmpty():
                 break
-            # lazy union of checkpointed mark waves — no per-round copy/job
-            marked = marked.unionAll(new)
+            marked = _checkpoint(marked.unionAll(new))
             frontier = new
-        e_src.unpersist()
-        e_dst.unpersist()
 
         # --- 4. assign the SCCs found this round and shrink the graph ---
         assigned.append(marked)

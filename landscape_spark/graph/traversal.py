@@ -65,10 +65,11 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             break
-        # lazy union of the (already-checkpointed) level frames: the old
-        # per-round re-checkpoint copied the whole accumulated table AND
-        # paid one extra job every round for rows that never change
-        dist = dist.unionAll(nxt)
+        # NOTE measured, kept: accumulating dist as a LAZY union of the
+        # checkpointed levels (no per-round copy) re-scans L fragments in
+        # every round's anti-join and benched +6% at sf0.1 — the
+        # consolidated re-checkpoint wins despite the extra job
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("v")
     return dist
 
