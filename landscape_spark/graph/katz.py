@@ -97,26 +97,28 @@ def eigenvector_centrality(
         "v", F.lit(1.0 / float(n_vertices)).alias("x")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
+        # checkpoint the RAW aggregate BEFORE the norm (the hits.py fix):
+        # the 1-row norm is a broadcast scalar subquery Catalyst does not
+        # exchange-dedup against the main side, so an un-cut raw would run
+        # its join+aggregate twice per iteration. Vertices missing from raw
+        # hold score exactly 0.0 and contribute nothing to the next join —
+        # the O(n) vertex left-join happens once, below the loop.
         raw = (
             e.join(x, e.src == x.v)
             .select(F.col("dst").alias("v"), F.col("x").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
-        )
-        norm = raw.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("_n"))
-        x = (
-            vertices.join(raw, on="v", how="left")
-            .crossJoin(F.broadcast(norm))
-            .select(
-                "v",
-                F.when(
-                    F.col("_n") > 0,
-                    F.coalesce(F.col("c"), F.lit(0.0)) / F.col("_n"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("x"),
-            )
             .localCheckpoint(eager=True)
         )
+        norm = raw.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("_n"))
+        x = raw.crossJoin(F.broadcast(norm)).select(
+            "v",
+            F.when(F.col("_n") > 0, F.col("c") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("x"),
+        )
+    out = vertices.join(x, on="v", how="left").select(
+        "v", F.coalesce(F.col("x"), F.lit(0.0)).alias("eigen")
+    )
     e.unpersist()
-    return x.select("v", F.col("x").alias("eigen"))
+    return out
