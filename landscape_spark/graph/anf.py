@@ -255,12 +255,22 @@ def harmonic_centrality(
         .repartition(p, "dst")
         .cache()
     )
+    from pyspark.sql import Observation
+
+    # the fixpoint certificate (INTEGER register sum — exact under any task
+    # merge order) rides each checkpoint action via observe(): no separate
+    # per-hop certificate job. (neighborhood_function keeps its combined
+    # cert+estimate job instead: the published estimate is a FLOAT sum, and
+    # observe() merges task metrics in completion order, which would make
+    # the published value run-order-dependent at the last ulp.)
+    obs0 = Observation()
     state = (
         _init_registers(vertices, log2m, seed)
         .select("v", "regs", est.alias("prev_est"), F.lit(0.0).alias("hc"))
+        .observe(obs0, F.sum(reg_sum).alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_cert = state.select(F.sum(reg_sum)).first()[0]
+    prev_cert = obs0.get["s"]
     elem_max = [
         F.max(F.element_at(F.col("regs"), i + 1)).alias(f"_m{i}") for i in range(m)
     ]
@@ -282,6 +292,7 @@ def harmonic_centrality(
                 "hc",
             )
         )
+        obs = Observation()
         state = merged.select(
             "v",
             "regs",
@@ -291,8 +302,8 @@ def harmonic_centrality(
                 F.col("hc")
                 + F.greatest(est - F.col("prev_est"), F.lit(0.0)) / F.lit(float(h))
             ).alias("hc"),
-        ).localCheckpoint(eager=True)
-        cert = state.select(F.sum(reg_sum)).first()[0]
+        ).observe(obs, F.sum(reg_sum).alias("s")).localCheckpoint(eager=True)
+        cert = obs.get["s"]
         if cert == prev_cert:
             break
         prev_cert = cert

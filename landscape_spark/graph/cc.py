@@ -57,10 +57,18 @@ def connected_components_exact(
     # Deliberately NO repartition — the label side broadcasts while small
     # and the message fan-out is linear, so a pinned exchange only adds an
     # up-front shuffle (measured +0.2s at sf0.1 for zero per-round gain).
+    from pyspark.sql import Observation
+
     sym = symmetrize(und_edges).cache()
+    # the certificate (INTEGER label sum — exact under any task merge
+    # order) rides each checkpoint action via observe(): no separate
+    # per-round O(n)-scan certificate job
+    obs0 = Observation()
     labels = vertices.select("v", F.col("v").alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    labels = labels.observe(obs0, F.sum("comp").alias("s")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = obs0.get["s"]
     converged = False
     for _ in range(max_iter):
         msgs = (
@@ -71,13 +79,15 @@ def connected_components_exact(
             # halves message traffic without changing the fixpoint
             .where(F.col("comp") < F.col("v"))
         )
+        obs = Observation()
         labels = (
             msgs.unionAll(labels)
             .groupBy("v")
             .agg(F.min("comp").alias("comp"))
+            .observe(obs, F.sum("comp").alias("s"))
         )
         labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break

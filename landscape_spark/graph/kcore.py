@@ -72,6 +72,8 @@ def coreness(
     """
     import warnings
 
+    from pyspark.sql import Observation
+
     from landscape_spark.session import local_parallelism
 
     w = Window.partitionBy("v").orderBy(F.desc("hw"))
@@ -86,17 +88,23 @@ def coreness(
     # and the per-round O(n) vertices left-join stays OUT of the loop;
     # isolated vertices are constant core 0 and rejoin in the final select
     # (the global cert sum is unchanged: isolated vertices contribute 0).
+    # the convergence certificate (global INTEGER sum — exact under any
+    # task-completion merge order) rides the checkpoint action itself via
+    # observe(), so no round pays a separate O(n)-scan certificate job
+    obs0 = Observation()
     state = (
         sym.groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("h"))
+        .observe(obs0, F.sum("h").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = state.agg(F.sum("h")).first()[0]
+    prev_sum = obs0.get["s"]
     converged = False
     for _ in range(max_iter):
         msgs = sym.join(
             state.select(F.col("v").alias("w"), F.col("h").alias("hw")), on="w"
         ).select("v", "hw")
+        obs = Observation()
         state = (
             msgs.withColumn("rn", F.row_number().over(w))
             # hw desc-sorted, rn ascending: hw >= rn is prefix-closed, so
@@ -107,9 +115,10 @@ def coreness(
                     F.when(F.col("hw") >= F.col("rn"), F.col("rn")).otherwise(0)
                 ).cast("long").alias("h")
             )
+            .observe(obs, F.sum("h").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = state.agg(F.sum("h")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break

@@ -105,8 +105,18 @@ def strongly_connected_components(
         e_dst = edges_rem
 
         # --- 2. forward coloring: color(v) = min id reaching v ---
-        colors = _checkpoint(remaining.select("v", F.col("v").alias("color")))
-        prev_sum = colors.agg(F.sum("color")).first()[0]
+        # the certificate (INTEGER color sum — exact under any task merge
+        # order) rides each checkpoint action via observe(): no separate
+        # per-round certificate job
+        from pyspark.sql import Observation
+
+        obs0 = Observation()
+        colors = _checkpoint(
+            remaining.select("v", F.col("v").alias("color")).observe(
+                obs0, F.sum("color").alias("s")
+            )
+        )
+        prev_sum = obs0.get["s"]
         colors_converged = False
         for _ in range(max_label_iter):
             msgs = (
@@ -118,10 +128,14 @@ def strongly_connected_components(
                 # lower v's label — drop pre-shuffle (cc.py monotonicity)
                 .where(F.col("color") < F.col("v"))
             )
+            obs = Observation()
             colors = _checkpoint(
-                msgs.unionAll(colors).groupBy("v").agg(F.min("color").alias("color"))
+                msgs.unionAll(colors)
+                .groupBy("v")
+                .agg(F.min("color").alias("color"))
+                .observe(obs, F.sum("color").alias("s"))
             )
-            cur_sum = colors.agg(F.sum("color")).first()[0]
+            cur_sum = obs.get["s"]
             if cur_sum == prev_sum:
                 colors_converged = True
                 break
