@@ -57,19 +57,23 @@ def betweenness_sources(
     level0 = spark.createDataFrame(
         [(s, s, 1) for s in src_list], "s long, v long, sigma long"
     ).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
     levels = [level0]
     reached = level0.select("s", "v").localCheckpoint(eager=True)
     for _ in range(int(max_depth)):
         prev = levels[-1]
+        obs = Observation()
         nxt = (
             prev.join(e, e.src == prev.v)
             .select("s", F.col("dst").alias("v"), "sigma")
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
             .join(reached, on=["s", "v"], how="left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         levels.append(nxt)
         reached = reached.unionAll(nxt.select("s", "v")).localCheckpoint(

@@ -41,17 +41,21 @@ def _reachable(edges: DataFrame, seeds: DataFrame, max_iter: int = 512) -> DataF
     """(v) reachable from the seed DataFrame along (src, dst) edges —
     seeds included. Frontier-synchronous: each edge fires once across the
     run, when its src enters the reached set."""
+    from pyspark.sql import Observation
+
     reached = seeds.select("v").distinct().localCheckpoint(eager=True)
     frontier = reached
     for _ in range(max_iter):
+        obs = Observation()
         nxt = (
             edges.join(frontier.withColumnRenamed("v", "src"), on="src")
             .select(F.col("dst").alias("v"))
             .distinct()
             .join(reached, on="v", how="left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         reached = reached.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt

@@ -65,8 +65,11 @@ def strongly_connected_components(
     edges_rem = _checkpoint(edges.select("src", "dst"))
     assigned: list[DataFrame] = []
 
+    from pyspark.sql import Observation
+
     for _outer in range(max_outer):
         # --- 1. trim singleton SCCs (in-deg 0 or out-deg 0) to fixpoint ---
+        n_remaining = None
         while True:
             # one endpoint-flag aggregate replaces the two distinct passes:
             # a vertex survives iff it occurs as BOTH a src and a dst
@@ -80,9 +83,20 @@ def strongly_connected_components(
                 .where((F.col("o") == 1) & (F.col("i") == 1))
                 .select("v")
             )
-            keep = _checkpoint(remaining.join(keep_v, on="v", how="left_semi"))
-            trimmed = _checkpoint(remaining.join(keep, on="v", how="left_anti"))
-            if trimmed.isEmpty():
+            # emptiness probes ride the checkpoint actions via observe()
+            obs_k, obs_t = Observation(), Observation()
+            keep = _checkpoint(
+                remaining.join(keep_v, on="v", how="left_semi").observe(
+                    obs_k, F.count(F.lit(1)).alias("n")
+                )
+            )
+            trimmed = _checkpoint(
+                remaining.join(keep, on="v", how="left_anti").observe(
+                    obs_t, F.count(F.lit(1)).alias("n")
+                )
+            )
+            n_remaining = obs_k.get["n"]
+            if obs_t.get["n"] == 0:
                 break
             assigned.append(trimmed.select("v", F.col("v").alias("comp")))
             remaining = keep
@@ -94,7 +108,7 @@ def strongly_connected_components(
                     trimmed.withColumnRenamed("v", "src"), on="src", how="left_anti"
                 ).join(trimmed.withColumnRenamed("v", "dst"), on="dst", how="left_anti")
             )
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
 
         # NOTE measured, kept plain: materializing orientation-partitioned
@@ -164,20 +178,26 @@ def strongly_connected_components(
                 .select("v", "comp")
                 .distinct()
             )
+            obs_n = Observation()
             new = _checkpoint(
-                cand.join(marked.select("v"), on="v", how="left_anti")
+                cand.join(marked.select("v"), on="v", how="left_anti").observe(
+                    obs_n, F.count(F.lit(1)).alias("n")
+                )
             )
-            if new.isEmpty():
+            if obs_n.get["n"] == 0:
                 break
             marked = _checkpoint(marked.unionAll(new))
             frontier = new
 
         # --- 4. assign the SCCs found this round and shrink the graph ---
         assigned.append(marked)
+        obs_r = Observation()
         remaining = _checkpoint(
-            remaining.join(marked.select("v"), on="v", how="left_anti")
+            remaining.join(marked.select("v"), on="v", how="left_anti").observe(
+                obs_r, F.count(F.lit(1)).alias("n")
+            )
         )
-        if remaining.isEmpty():
+        if obs_r.get["n"] == 0:
             break
         # shrink against the small marked set (broadcastable), not the
         # n-sized remaining set — same anti-join trick as the trim

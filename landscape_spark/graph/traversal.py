@@ -47,6 +47,8 @@ def bfs_distances(
     at the graph's seed eccentricity (web graphs: ~tens); hitting the cap
     returns the correct ≤max_iter-hop ball, and distances in it are exact.
     """
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(s), 0) for s in dict.fromkeys(seeds)], "v long, dist int"
@@ -58,12 +60,16 @@ def bfs_distances(
             .select(F.col("dst").alias("v"))
             .distinct()
         )
+        # the emptiness probe rides the checkpoint action via observe()
+        # (integer count — exact), saving one job per round
+        obs = Observation()
         nxt = (
             candidates.join(dist, on="v", how="left_anti")
             .select("v", F.lit(d).cast("int").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         # NOTE measured, kept: accumulating dist as a LAZY union of the
         # checkpointed levels (no per-round copy) re-scans L fragments in
@@ -101,6 +107,8 @@ def sssp_weighted(
     dist = spark.createDataFrame(
         [(int(s), 0) for s in dict.fromkeys(seeds)], "v long, dist long"
     ).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
     frontier = dist
     for _ in range(max_iter):
         cand = (
@@ -114,14 +122,16 @@ def sssp_weighted(
             .agg(F.min(F.col("_d") + F.col("_w")).alias("cand"))
         )
         joined = cand.join(dist, on="v", how="left")
+        obs = Observation()
         improved = (
             joined.where(
                 F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
             )
             .select("v", F.col("cand").alias("dist"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        if obs.get["n"] == 0:
             break
         dist = (
             dist.join(improved.select("v"), on="v", how="left_anti")

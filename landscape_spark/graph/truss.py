@@ -98,11 +98,17 @@ def k_truss(
     supp = _supp_round(e)
     if k <= 2:
         return supp
+    from pyspark.sql import Observation
+
     n_prev = e.count()
     for _ in range(max_rounds):
         keep = supp.where(F.col("support") >= F.lit(k - 2)).select("a", "b")
-        e_new = keep.localCheckpoint(eager=True)
-        n_new = e_new.count()
+        # survivor count rides the checkpoint action (integer — exact)
+        obs = Observation()
+        e_new = keep.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        n_new = obs.get["n"]
         if n_new == n_prev:
             # nothing was deleted: supp is already the support within the
             # surviving subgraph — exact fixpoint

@@ -114,6 +114,9 @@ def random_walks(
                 (h % F.col("out_deg")).alias("rank"),
             )
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         nxt = (
             picked.join(adj.select("src", "rank", "dst"), on=["src", "rank"])
             .select(
@@ -122,11 +125,12 @@ def random_walks(
                 F.lit(t).alias("step"),
                 F.col("dst").alias("v"),
             )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         levels.append(nxt)
         state = nxt
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
     out = levels[0]
     for lv in levels[1:]:
@@ -244,15 +248,18 @@ def node2vec_walks(
                 & (F.col("_u") * F.col("tot") >= F.col("cum") - F.col("wt"))
             )
         )
+        from pyspark.sql import Observation
+
+        obs = Observation()
         state = picked.select(
             "start_v",
             "walk",
             F.lit(t).alias("step"),
             F.col("v").alias("prev"),
             F.col("w").alias("v"),
-        ).localCheckpoint(eager=True)
+        ).observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
         levels.append(state.select("start_v", "walk", "step", "v"))
-        if state.isEmpty():
+        if obs.get["n"] == 0:
             break
     out = levels[0]
     for lv in levels[1:]:

@@ -258,10 +258,17 @@ def _cc_rounds(
                 .where(F.col("comp_u") != F.col("comp_v"))
             )
         # materialize the (tiny: <= live components x j rows) sample set ONCE,
-        # then count/collect from the checkpoint — limit().collect() would
-        # re-run the whole narrow sampling pipeline in incremental waves
-        resolved = resolved.localCheckpoint(eager=True)
-        n_samp = resolved.count()
+        # then collect from the checkpoint — limit().collect() would re-run
+        # the whole narrow sampling pipeline in incremental waves. The row
+        # count rides the checkpoint action via observe() (integer — exact
+        # under any task merge order), saving one probe job per pass.
+        from pyspark.sql import Observation
+
+        _obs = Observation()
+        resolved = resolved.observe(
+            _obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        n_samp = _obs.get["n"]
         if n_samp == 0:
             if on_round is not None:
                 on_round(g, 0, False)
@@ -438,8 +445,13 @@ def _forest_pass_slices(
                 .where(F.col("comp_u") != F.col("comp_v"))
             )
         first = False
-        resolved = resolved.localCheckpoint(eager=True)
-        n_samp = resolved.count()
+        from pyspark.sql import Observation
+
+        _obs = Observation()
+        resolved = resolved.observe(
+            _obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        n_samp = _obs.get["n"]
         last_n_samp = n_samp
         if n_samp == 0:
             break  # no live component holds a cut edge: forest complete
